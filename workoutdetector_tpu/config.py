@@ -1,0 +1,290 @@
+"""Single typed config system.
+
+Replaces both config systems of the reference (fvcore CfgNode YAML at
+reference workoutdetector/trainer.py:333-367 and mmcv python configs) with
+one dataclass-based schema:
+
+- schema is typed dataclasses (IDE/static-check friendly, no schema-less drift)
+- loads YAML files, merges dotted-path CLI overrides (``a.b.c=value``)
+- unknown keys in YAML raise unless the node opts into ``extra`` storage
+
+The default values mirror reference workoutdetector/configs/defaults.yaml.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+def _coerce(value: Any, typ: Any) -> Any:
+    """Coerce a YAML/CLI value to the annotated type (best-effort)."""
+    if value is None:
+        return None
+    origin = getattr(typ, "__origin__", None)
+    if origin is not None:  # typing generics: Optional[x], List[x], Dict
+        args = getattr(typ, "__args__", ())
+        if origin is list:
+            inner = args[0] if args else Any
+            return [_coerce(v, inner) for v in value]
+        if origin is dict:
+            return dict(value)
+        # Optional[X] == Union[X, None]
+        non_none = [a for a in args if a is not type(None)]
+        if len(non_none) == 1:
+            return _coerce(value, non_none[0])
+        return value
+    if typ in (Any, None) or isinstance(typ, str):
+        return value
+    if typ is bool:
+        if isinstance(value, str):
+            return value.lower() in ("1", "true", "yes", "on")
+        return bool(value)
+    if typ is int:
+        return int(value)
+    if typ is float:
+        return float(value)
+    if typ is str:
+        return str(value)
+    return value
+
+
+class ConfigNode:
+    """Mixin giving dataclasses dict-merge, YAML IO, and dotted access."""
+
+    def merge_dict(self, d: Dict[str, Any]) -> None:
+        for k, v in d.items():
+            if not hasattr(self, k):
+                raise KeyError(
+                    f"Unknown config key '{k}' for {type(self).__name__}. "
+                    f"Valid keys: {[f.name for f in fields(self)]}")
+            cur = getattr(self, k)
+            if is_dataclass(cur) and isinstance(v, dict):
+                cur.merge_dict(v)
+            else:
+                ftype = next(f.type for f in fields(self) if f.name == k)
+                # dataclass field types may be strings under future annotations
+                if isinstance(ftype, str):
+                    setattr(self, k, v)
+                else:
+                    setattr(self, k, _coerce(v, ftype))
+
+    def merge_file(self, path: str) -> None:
+        with open(path) as f:
+            d = yaml.safe_load(f) or {}
+        self.merge_dict(d)
+
+    def merge_opts(self, opts: List[str]) -> None:
+        """Merge dotted-path CLI overrides: ["model.num_class=12", ...].
+
+        Also accepts alternating ["model.num_class", "12"] (fvcore style,
+        reference workoutdetector/trainer.py:363-366).
+        """
+        pairs: List[tuple] = []
+        i = 0
+        while i < len(opts):
+            tok = opts[i]
+            if "=" in tok:
+                key, val = tok.split("=", 1)
+                pairs.append((key, val))
+                i += 1
+            else:
+                if i + 1 >= len(opts):
+                    raise ValueError(f"Dangling config override: {tok}")
+                pairs.append((tok, opts[i + 1]))
+                i += 2
+        for key, val in pairs:
+            node: Any = self
+            parts = key.split(".")
+            for p in parts[:-1]:
+                node = getattr(node, p)
+            leaf = parts[-1]
+            if not hasattr(node, leaf):
+                raise KeyError(f"Unknown config key '{key}'")
+            parsed = yaml.safe_load(val)
+            cur = getattr(node, leaf)
+            if is_dataclass(cur) and isinstance(parsed, dict):
+                cur.merge_dict(parsed)
+            else:
+                ftype = next(f.type for f in fields(node) if f.name == leaf)
+                setattr(node, leaf, parsed if isinstance(ftype, str) else _coerce(parsed, ftype))
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def dump(self) -> str:
+        return yaml.safe_dump(self.to_dict(), sort_keys=False)
+
+    def clone(self):
+        return copy.deepcopy(self)
+
+
+@dataclass
+class TrainerConfig(ConfigNode):
+    default_root_dir: str = "exp/default"
+    max_epochs: int = 50
+    max_steps: int = -1
+    check_val_every_n_epoch: int = 1
+    min_epochs: int = 1
+    precision: str = "bf16"  # "fp32" | "bf16" — bf16 keeps the MXU fed
+    deterministic: bool = True
+    fast_dev_run: bool = False
+    resume_from_checkpoint: Optional[str] = None
+    enable_checkpointing: bool = True
+    devices: str = "auto"  # "auto" = all local devices in the data axis
+    num_nodes: int = 1
+    log_every_n_steps: int = 20
+    grad_accum_steps: int = 1
+
+
+@dataclass
+class OptimizerConfig(ConfigNode):
+    method: str = "sgd"  # sgd | adamw
+    lr: float = 0.005
+    momentum: float = 0.9
+    weight_decay: float = 5.0e-4
+    eps: float = 1.0e-8
+    use_tsn_policies: bool = True  # per-group lr/decay multipliers
+
+
+@dataclass
+class LRSchedulerConfig(ConfigNode):
+    policy: str = "steplr"  # steplr | cosine | multistep
+    gamma: float = 0.1
+    step: int = 8  # StepLR step size (epochs)
+    lr_steps: List[int] = field(default_factory=lambda: [20, 40])
+    warmup_epochs: float = 0.0
+    warmup_multiplier: float = 8.0
+    eta_min: float = 1.0e-5
+
+
+@dataclass
+class ModelConfig(ConfigNode):
+    model_type: str = "tsm"  # tsm | tdn | image
+    num_class: int = 12
+    num_segments: int = 8
+    num_frames: int = 1  # TDN: frames per segment (5)
+    base_model: str = "resnet50"
+    consensus_type: str = "avg"
+    is_shift: bool = True
+    shift_div: int = 8
+    shift_place: str = "blockres"  # blockres | block
+    fc_lr5: bool = True
+    partial_bn: bool = True
+    dropout: float = 0.5
+    temporal_pool: bool = False
+    non_local: bool = False
+    checkpoint: Optional[str] = None
+    # TPU specifics
+    dtype: str = "bfloat16"  # compute dtype; params stay fp32
+    shift_impl: str = "xla"  # xla | pallas
+
+
+@dataclass
+class SplitConfig(ConfigNode):
+    anno: Optional[str] = None
+    data_prefix: Optional[str] = None
+    person_crop: bool = False
+
+
+@dataclass
+class DataConfig(ConfigNode):
+    dataset_type: str = "FrameDataset"  # FrameDataset|ImageDataset|TDNDataset|DebugDataset
+    data_root: str = ""
+    num_segments: int = 8
+    num_frames: int = 5  # TDN burst length
+    filename_tmpl: str = "img_{:05}.jpg"
+    anno_col: int = 4
+    batch_size: int = 4
+    num_workers: int = 8
+    image_size: int = 224
+    scale_size: int = 256
+    train: SplitConfig = field(default_factory=SplitConfig)
+    val: SplitConfig = field(default_factory=SplitConfig)
+    test: SplitConfig = field(default_factory=SplitConfig)
+    # DebugDataset knobs
+    debug_size: int = 100
+    debug_num_class: int = 2
+
+
+@dataclass
+class WandbConfig(ConfigNode):
+    enable: bool = False
+    offline: bool = True
+    project: str = "workoutdetector-tpu"
+    name: Optional[str] = None
+
+
+@dataclass
+class LogConfig(ConfigNode):
+    output_dir: Optional[str] = None
+    log_every_n_steps: int = 20
+    csv_enable: bool = True
+    tensorboard_enable: bool = True
+    wandb: WandbConfig = field(default_factory=WandbConfig)
+
+
+@dataclass
+class CheckpointConfig(ConfigNode):
+    save_top_k: int = 1
+    monitor: str = "val/acc"
+    mode: str = "max"
+    dirpath: Optional[str] = None
+    save_weights_only: bool = False
+
+
+@dataclass
+class EarlyStoppingConfig(ConfigNode):
+    enable: bool = False
+    patience: int = 10
+    monitor: str = "train/loss"
+    mode: str = "min"
+
+
+@dataclass
+class CallbacksConfig(ConfigNode):
+    modelcheckpoint: CheckpointConfig = field(default_factory=CheckpointConfig)
+    early_stopping: EarlyStoppingConfig = field(default_factory=EarlyStoppingConfig)
+
+
+@dataclass
+class ParallelConfig(ConfigNode):
+    """Device-mesh layout. The reference is DP-only (SURVEY §2.8); we
+    reserve model/time axes so the design is not DP-only by construction."""
+    data_axis: int = -1  # -1 = all remaining devices
+    model_axis: int = 1
+    axis_names: List[str] = field(default_factory=lambda: ["data", "model"])
+
+
+@dataclass
+class Config(ConfigNode):
+    trainer: TrainerConfig = field(default_factory=TrainerConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    lr_scheduler: LRSchedulerConfig = field(default_factory=LRSchedulerConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    log: LogConfig = field(default_factory=LogConfig)
+    callbacks: CallbacksConfig = field(default_factory=CallbacksConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    seed: int = 0
+    train: bool = True
+    checkpoint: Optional[str] = None
+    timestamp: Optional[str] = None
+
+
+def load_config(cfg_file: Optional[str] = None, opts: Optional[List[str]] = None) -> Config:
+    """Load config from YAML + dotted CLI overrides.
+
+    Mirrors reference load_config (workoutdetector/trainer.py:357-367) with a
+    typed schema instead of schema-less CfgNode.
+    """
+    cfg = Config()
+    if cfg_file:
+        cfg.merge_file(cfg_file)
+    if opts:
+        cfg.merge_opts(opts)
+    return cfg

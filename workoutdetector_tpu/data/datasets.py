@@ -1,0 +1,238 @@
+"""Datasets producing fixed-shape uint8 numpy batches for the device feed.
+
+Torch-free re-implementations of the reference's dataset classes
+(workoutdetector/datasets/common.py:16-170 FrameDataset/ImageDataset,
+workoutdetector/datasets/tdn_dataset.py:13-155 TDNDataset,
+workoutdetector/datasets/debug.py:8-36 DebugDataset). Items are
+(clip_uint8[T,H,W,C], label) — normalization runs fused on device.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from workoutdetector_tpu.config import DataConfig
+from workoutdetector_tpu.data.sampling import sample_frames, tdn_sample_indices
+from workoutdetector_tpu.data.transforms import build_transform
+
+
+def read_image(path: str) -> np.ndarray:
+    """Read an image file → RGB uint8 (H, W, 3)."""
+    import cv2
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def _load_rawframe_anno(anno_path: str, data_prefix: str, anno_col: int) -> List[dict]:
+    """Parse 3/4-column rawframe lists (reference common.py:72-97)."""
+    infos: List[dict] = []
+    with open(anno_path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if anno_col == 4:
+                frame_dir, start_index, total_frames, label = parts
+            else:
+                frame_dir, total_frames, label = parts
+                start_index = 1
+            if data_prefix and int(total_frames) > 0:
+                frame_dir = os.path.join(data_prefix, frame_dir)
+            infos.append(
+                dict(frame_dir=frame_dir,
+                     start_index=int(start_index),
+                     total_frames=int(total_frames),
+                     label=int(label)))
+    return infos
+
+
+class FrameDataset:
+    """Rawframe video dataset over `dir [start] total label` lists
+    (reference common.py:16-120). Returns (T, H, W, C) uint8 + label."""
+
+    def __init__(self,
+                 data_root: str,
+                 anno_path: str,
+                 data_prefix: Optional[str] = None,
+                 num_segments: int = 8,
+                 filename_tmpl: str = "img_{:05}.jpg",
+                 transform: Optional[Callable] = None,
+                 anno_col: int = 4,
+                 is_test: bool = False) -> None:
+        assert osp.isfile(anno_path), f"{anno_path} is not a file"
+        self.data_prefix = osp.join(data_root, data_prefix or "")
+        self.transform = transform
+        self.num_segments = num_segments
+        self.tmpl = filename_tmpl
+        self.anno = _load_rawframe_anno(anno_path, self.data_prefix, anno_col)
+        self.random = not is_test
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None
+                   ) -> Tuple[np.ndarray, int]:
+        if rng is None:
+            rng = np.random.default_rng()
+        info = self.anno[idx]
+        samples = sample_frames(info["total_frames"], self.num_segments,
+                                info["start_index"], self.random, rng)
+        frames = np.stack(
+            [read_image(osp.join(info["frame_dir"], self.tmpl.format(i))) for i in samples])
+        if self.transform is not None:
+            frames = self.transform(frames, rng)
+        assert frames.shape[0] == self.num_segments
+        return frames, info["label"]
+
+    def __len__(self) -> int:
+        return len(self.anno)
+
+
+class ImageDataset:
+    """Generic `path label` image dataset (reference common.py:123-170).
+    Returns (1, H, W, C) uint8 clips so transforms are shared with videos."""
+
+    def __init__(self,
+                 data_root: str,
+                 data_prefix: Optional[str] = None,
+                 anno_path: str = "train.txt",
+                 transform: Optional[Callable] = None) -> None:
+        assert osp.isfile(anno_path), f"{anno_path} is not a file"
+        self.data_prefix = osp.join(data_root, data_prefix or "")
+        self.transform = transform
+        self.anno: List[Tuple[str, int]] = []
+        with open(anno_path) as f:
+            for line in f:
+                if line.strip():
+                    name, class_ = line.strip().split()
+                    self.anno.append((name, int(class_)))
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None
+                   ) -> Tuple[np.ndarray, int]:
+        if rng is None:
+            rng = np.random.default_rng()
+        path, label = self.anno[idx]
+        img = read_image(osp.join(self.data_prefix, path))[None]  # (1,H,W,C)
+        if self.transform is not None:
+            img = self.transform(img, rng)
+        return img, label
+
+    def __len__(self) -> int:
+        return len(self.anno)
+
+
+class TDNDataset:
+    """TDN burst dataset: num_segments start indices, 5 consecutive frames
+    each → (T*5, H, W, C) uint8 (reference tdn_dataset.py:13-155)."""
+
+    def __init__(self,
+                 data_root: str,
+                 anno_path: str,
+                 data_prefix: Optional[str] = None,
+                 num_segments: int = 8,
+                 num_frames: int = 5,
+                 filename_tmpl: str = "img_{:05}.jpg",
+                 transform: Optional[Callable] = None,
+                 anno_col: int = 4,
+                 is_test: bool = False) -> None:
+        assert osp.isfile(anno_path), f"{anno_path} is not a file"
+        self.data_prefix = osp.join(data_root, data_prefix or "")
+        self.transform = transform
+        self.num_segments = num_segments
+        self.num_frames = num_frames
+        self.tmpl = filename_tmpl
+        self.anno = _load_rawframe_anno(anno_path, self.data_prefix, anno_col)
+        self.random = not is_test
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None
+                   ) -> Tuple[np.ndarray, int]:
+        if rng is None:
+            rng = np.random.default_rng()
+        info = self.anno[idx]
+        total = info["total_frames"]
+        starts = tdn_sample_indices(total, self.num_segments, self.num_frames, rng,
+                                    self.random) + info["start_index"]
+        frames = []
+        for i in starts:
+            for j in range(self.num_frames):
+                # clamp burst inside the annotated span
+                k = min(int(i) + j, info["start_index"] + total - 1)
+                frames.append(read_image(osp.join(info["frame_dir"], self.tmpl.format(k))))
+        clip = np.stack(frames)
+        if self.transform is not None:
+            clip = self.transform(clip, rng)
+        assert clip.shape[0] == self.num_segments * self.num_frames
+        return clip, info["label"]
+
+    def __len__(self) -> int:
+        return len(self.anno)
+
+
+class DebugDataset:
+    """Synthetic constant-color clips, pixel value 255//(label+1) as uint8
+    (the reference's fp32 1/(label+1) fixture, debug.py:8-36, adapted to the
+    uint8 host→device contract). A learnable toy task for convergence tests.
+    """
+
+    def __init__(self,
+                 num_class: int = 2,
+                 num_segments: int = 8,
+                 size: int = 100,
+                 image_size: int = 224) -> None:
+        self.num_class = num_class
+        self.num_segments = num_segments
+        self.size = size
+        self.image_size = image_size
+
+    def __len__(self) -> int:
+        return self.size
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None
+                   ) -> Tuple[np.ndarray, int]:
+        label = idx % self.num_class
+        val = 255 // (label + 1)
+        x = np.full((self.num_segments, self.image_size, self.image_size, 3),
+                    val,
+                    dtype=np.uint8)
+        return x, label
+
+
+def build_dataset(cfg: DataConfig, split: str):
+    """Dataset factory dispatching on cfg.dataset_type
+    (reference datasets/build.py:10-63)."""
+    is_test = split != "train"
+    if cfg.dataset_type == "DebugDataset":
+        return DebugDataset(num_class=cfg.debug_num_class,
+                            num_segments=cfg.num_segments,
+                            size=cfg.debug_size,
+                            image_size=cfg.image_size)
+    split_cfg = getattr(cfg, split)
+    transform = build_transform(split)
+    if cfg.dataset_type == "FrameDataset":
+        return FrameDataset(data_root=cfg.data_root,
+                            anno_path=split_cfg.anno,
+                            data_prefix=split_cfg.data_prefix,
+                            num_segments=cfg.num_segments,
+                            filename_tmpl=cfg.filename_tmpl,
+                            transform=transform,
+                            anno_col=cfg.anno_col,
+                            is_test=is_test)
+    if cfg.dataset_type == "ImageDataset":
+        return ImageDataset(data_root=cfg.data_root,
+                            data_prefix=split_cfg.data_prefix,
+                            anno_path=split_cfg.anno,
+                            transform=transform)
+    if cfg.dataset_type == "TDNDataset":
+        return TDNDataset(data_root=cfg.data_root,
+                          anno_path=split_cfg.anno,
+                          data_prefix=split_cfg.data_prefix,
+                          num_segments=cfg.num_segments,
+                          num_frames=cfg.num_frames,
+                          filename_tmpl=cfg.filename_tmpl,
+                          transform=transform,
+                          anno_col=cfg.anno_col,
+                          is_test=is_test)
+    raise KeyError(f"Dataset '{cfg.dataset_type}' is not supported.")
