@@ -1,0 +1,131 @@
+"""Optimizer-policy and schedule tests (reference semantics:
+models/optimizer.py:38-182 policies, :13-35+185-226 schedulers)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from workoutdetector_tpu.config import LRSchedulerConfig, ModelConfig, OptimizerConfig
+from workoutdetector_tpu.models import TSM
+from workoutdetector_tpu.train.optim import (POLICY_TABLE, build_optimizer,
+                                             build_schedule, classify_param,
+                                             label_params)
+
+
+def test_classify_param_paths():
+    pbn = dict(partial_bn=True, fc_lr5=True)
+    assert classify_param(("backbone", "conv1", "kernel"), **pbn) == "first_conv_weight"
+    assert classify_param(("backbone", "bn1", "scale"), **pbn) == "bn"
+    assert classify_param(("backbone", "layer1_0", "bn1", "scale"), **pbn) == "frozen"
+    assert classify_param(("backbone", "layer1_0", "conv1", "kernel"),
+                          **pbn) == "normal_weight"
+    assert classify_param(("backbone", "layer2_1", "downsample_conv", "kernel"),
+                          **pbn) == "normal_weight"
+    assert classify_param(("fc", "kernel"), **pbn) == "lr5_weight"
+    assert classify_param(("fc", "bias"), **pbn) == "lr10_bias"
+    # no pbn ⇒ body bn live
+    assert classify_param(("backbone", "layer1_0", "bn1", "scale"),
+                          partial_bn=False, fc_lr5=True) == "bn"
+    # no fc_lr5 ⇒ fc is normal
+    assert classify_param(("fc", "kernel"), partial_bn=True,
+                          fc_lr5=False) == "normal_weight"
+    # TDN paths
+    assert classify_param(("conv1", "kernel"), **pbn) == "first_conv_weight"
+    assert classify_param(("conv1", "bias"), **pbn) == "first_conv_bias"
+    assert classify_param(("bn1_5", "scale"), **pbn) == "frozen"
+    assert classify_param(("layer2_0", "mse", "conv1", "kernel"),
+                          **pbn) == "normal_weight"
+    assert classify_param(("layer2_0", "shift", "kernel"), **pbn) == "normal_weight"
+    assert classify_param(("new_fc", "kernel"), **pbn) == "lr5_weight"
+
+
+def test_label_params_covers_tsm():
+    model = TSM(num_class=2, num_segments=4, base_model="resnet18")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 32, 32, 3)))
+    labels = label_params(variables["params"], partial_bn=True, fc_lr5=True)
+    from flax import traverse_util
+    flat = traverse_util.flatten_dict(labels)
+    values = set(flat.values())
+    assert values <= set(POLICY_TABLE)
+    assert "first_conv_weight" in values
+    assert "lr5_weight" in values
+    assert "frozen" in values
+    # exactly one first conv, one live bn pair (stem)
+    firsts = [k for k, v in flat.items() if v == "first_conv_weight"]
+    assert firsts == [("backbone", "conv1", "kernel")]
+    live_bn = [k for k, v in flat.items() if v == "bn"]
+    assert sorted(live_bn) == [("backbone", "bn1", "bias"), ("backbone", "bn1", "scale")]
+
+
+def test_schedule_steplr():
+    cfg = LRSchedulerConfig(policy="steplr", gamma=0.1, step=2)
+    sched = build_schedule(cfg, base_lr=1.0, steps_per_epoch=10, max_epochs=10)
+    assert float(sched(0)) == pytest.approx(1.0)
+    assert float(sched(19)) == pytest.approx(1.0)
+    assert float(sched(20)) == pytest.approx(0.1)
+    assert float(sched(40)) == pytest.approx(0.01)
+
+
+def test_schedule_warmup_cosine():
+    cfg = LRSchedulerConfig(policy="cosine", warmup_epochs=1, warmup_multiplier=8.0,
+                            eta_min=1e-5)
+    sched = build_schedule(cfg, base_lr=0.8, steps_per_epoch=10, max_epochs=11)
+    # starts at lr/multiplier, reaches base at warmup end
+    assert float(sched(0)) == pytest.approx(0.1)
+    assert float(sched(10)) == pytest.approx(0.8, rel=1e-3)
+    # decays toward eta_min
+    assert float(sched(109)) < 0.01
+
+
+def test_schedule_multistep():
+    cfg = LRSchedulerConfig(policy="multistep", gamma=0.1, lr_steps=[2, 4],
+                            warmup_epochs=0)
+    sched = build_schedule(cfg, base_lr=1.0, steps_per_epoch=10, max_epochs=6)
+    assert float(sched(15)) == pytest.approx(1.0)
+    assert float(sched(25)) == pytest.approx(0.1)
+    assert float(sched(45)) == pytest.approx(0.01)
+
+
+def test_frozen_params_get_zero_updates():
+    model = TSM(num_class=2, num_segments=4, base_model="resnet18", partial_bn=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 32, 32, 3)))
+    params = variables["params"]
+    tx, _ = build_optimizer(OptimizerConfig(), LRSchedulerConfig(), params,
+                            steps_per_epoch=10, max_epochs=10, partial_bn=True,
+                            fc_lr5=True)
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    # frozen BN scale/bias must get exactly zero update
+    frozen_up = updates["backbone"]["layer1_0"]["bn1"]["scale"]
+    np.testing.assert_array_equal(np.asarray(frozen_up), 0.0)
+    # stem BN is live
+    live_up = updates["backbone"]["bn1"]["scale"]
+    assert not np.allclose(np.asarray(live_up), 0.0)
+    # fc gets 5x the lr of normal weights (both wd=… but grads=1 so
+    # update = -(lr_mult*lr)*(1*wd_terms…): compare magnitudes
+    fc_up = np.abs(np.asarray(updates["fc"]["kernel"])).mean()
+    normal_up = np.abs(np.asarray(updates["backbone"]["layer1_0"]["conv1"]
+                                  ["kernel"])).mean()
+    assert fc_up == pytest.approx(5 * normal_up, rel=1e-3)
+
+
+def test_sgd_matches_torch_semantics():
+    """One-param check: wd folds into grad before momentum (torch SGD)."""
+    params = {"w": jnp.asarray([2.0])}
+    lr, mom, wd = 0.1, 0.9, 0.01
+    tx, _ = build_optimizer(
+        OptimizerConfig(method="sgd", lr=lr, momentum=mom, weight_decay=wd,
+                        use_tsn_policies=False),
+        LRSchedulerConfig(policy="steplr", step=1000), params, 1, 1)
+    st = tx.init(params)
+    g = {"w": jnp.asarray([1.0])}
+    up1, st = tx.update(g, st, params)
+    # step 1: buf = g + wd*w = 1.02; update = -lr*buf
+    assert float(up1["w"][0]) == pytest.approx(-lr * 1.02)
+    params2 = {"w": params["w"] + up1["w"]}
+    up2, st = tx.update(g, st, params2)
+    want_buf = mom * 1.02 + (1.0 + wd * float(params2["w"][0]))
+    assert float(up2["w"][0]) == pytest.approx(-lr * want_buf, rel=1e-5)

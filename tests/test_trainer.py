@@ -1,0 +1,120 @@
+"""Trainer tests on the virtual 8-device CPU mesh.
+
+Covers the reference suite's trainer tier (tests/test_trainer.py:20-57
+fast-dev-run, tests/test_models.py:24-59 DebugDataset convergence) plus the
+distributed tier the reference lacks (SURVEY §4: mesh-parameterized DP)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from workoutdetector_tpu.config import Config
+from workoutdetector_tpu.parallel.mesh import create_mesh, shard_batch
+from workoutdetector_tpu.train.trainer import Trainer, train
+
+
+def small_cfg(tmp_path, num_class=2, batch=8, size=16) -> Config:
+    cfg = Config()
+    cfg.model.model_type = "tsm"
+    cfg.model.base_model = "resnet18"
+    cfg.model.num_class = num_class
+    cfg.model.num_segments = 4
+    cfg.model.dropout = 0.0
+    cfg.model.dtype = "float32"
+    cfg.data.dataset_type = "DebugDataset"
+    cfg.data.debug_num_class = num_class
+    cfg.data.debug_size = 16
+    cfg.data.batch_size = batch
+    cfg.data.num_segments = 4
+    cfg.data.image_size = size
+    cfg.data.num_workers = 2
+    cfg.trainer.default_root_dir = str(tmp_path / "exp")
+    cfg.trainer.max_epochs = 1
+    cfg.trainer.log_every_n_steps = 1
+    cfg.log.tensorboard_enable = False
+    cfg.optimizer.lr = 0.02
+    return cfg
+
+
+def test_mesh_creation():
+    mesh = create_mesh()
+    assert mesh.shape["data"] == 8
+    assert mesh.shape["model"] == 1
+    mesh2 = create_mesh(model=2)
+    assert mesh2.shape["data"] == 4
+
+
+def test_shard_batch_places_on_mesh():
+    mesh = create_mesh()
+    x = np.zeros((16, 4), np.float32)
+    (sx,) = shard_batch((x,), mesh)
+    assert sx.sharding.spec == jax.sharding.PartitionSpec("data")
+
+
+def test_fast_dev_run(tmp_path):
+    cfg = small_cfg(tmp_path)
+    cfg.trainer.fast_dev_run = True
+    history = train(cfg)
+    assert "best_val_acc" in history
+
+
+def test_train_step_improves_loss(tmp_path):
+    cfg = small_cfg(tmp_path)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(steps_per_epoch=2, image_size=cfg.data.image_size)
+    step = trainer.train_step_fn()
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, size=(8, 4, 16, 16, 3), dtype=np.uint8)
+    # label = deterministic function of the mean pixel so it's learnable
+    y = (x.reshape(8, -1).mean(1) > 127).astype(np.int32)
+    bx, by = shard_batch((x, y), trainer.mesh)
+    losses = []
+    for _ in range(8):
+        state, m = step(state, bx, by)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_debug_dataset_convergence(tmp_path):
+    """DebugDataset convergence gate — the reference asserts acc > 0.5
+    after 10 epochs on GPU (tests/test_models.py:59); on the CPU mesh we
+    train a few epochs at 16px and require better-than-chance accuracy."""
+    cfg = small_cfg(tmp_path)
+    cfg.trainer.max_epochs = 4
+    cfg.optimizer.lr = 0.05
+    trainer = Trainer(cfg)
+    state, history = trainer.fit()
+    result = trainer.test(state)
+    assert result["acc"] > 0.5, f"did not converge: {result}"
+
+
+def test_checkpoint_save_restore(tmp_path):
+    cfg = small_cfg(tmp_path)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(steps_per_epoch=1, image_size=16)
+    from workoutdetector_tpu.train.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(state, name="best", meta={"best_val_acc": 0.75})
+    restored, meta = mgr.restore("best", jax.tree_util.tree_map(np.zeros_like, state))
+    assert meta["best_val_acc"] == 0.75
+    orig_leaf = np.asarray(state.params["backbone"]["conv1"]["kernel"])
+    rest_leaf = np.asarray(restored.params["backbone"]["conv1"]["kernel"])
+    np.testing.assert_array_equal(orig_leaf, rest_leaf)
+
+
+def test_resume_from_checkpoint(tmp_path):
+    cfg = small_cfg(tmp_path)
+    cfg.trainer.max_epochs = 1
+    trainer = Trainer(cfg)
+    ckpt_dir = str(tmp_path / "ckpts")
+    state, _ = trainer.fit(ckpt_dir=ckpt_dir)
+    step_after = int(state.step)
+    assert step_after > 0
+
+    cfg2 = small_cfg(tmp_path)
+    cfg2.trainer.resume_from_checkpoint = os.path.join(ckpt_dir, "last")
+    trainer2 = Trainer(cfg2)
+    state2, _ = trainer2.fit(ckpt_dir=str(tmp_path / "ckpts2"))
+    assert int(state2.step) > step_after

@@ -1,0 +1,96 @@
+"""Host data loader: threaded decode/augment → fixed-shape uint8 batches.
+
+Replaces torch DataLoader (reference trainer.py:150-200 DataModule) with a
+thread-pool pipeline tuned for the TPU feed: workers decode JPEG + augment
+(all uint8), batches are preassembled into contiguous arrays, and a
+prefetch queue keeps ``prefetch`` batches ready so the device never waits
+on the host (double-buffering; SURVEY §7 hard-part 4). Shapes are static:
+``drop_last`` always, so every device step compiles once.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class DataLoader:
+    """Minimal deterministic prefetching loader.
+
+    Args:
+        dataset: object with __len__ and __getitem__(idx, rng) → (np, label).
+        batch_size: global batch size (pre-sharding).
+        shuffle: reshuffle each epoch (seeded).
+        num_workers: decode threads.
+        seed: base seed; per-item rng = default_rng(seed*1e6 + epoch*len + idx).
+        drop_last: always True behavior for static shapes (kept as arg for
+            API parity).
+    """
+
+    def __init__(self,
+                 dataset: Any,
+                 batch_size: int,
+                 shuffle: bool = False,
+                 num_workers: int = 4,
+                 seed: int = 0,
+                 prefetch: int = 2,
+                 drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        return len(self.dataset) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _item_rng(self, idx: int) -> np.random.Generator:
+        return np.random.default_rng(
+            (self.seed * 1_000_003 + self.epoch * len(self.dataset) + idx) & 0x7FFFFFFF)
+
+    def _fetch(self, idx: int) -> Tuple[np.ndarray, int]:
+        item = self.dataset.__getitem__(int(idx), self._item_rng(int(idx)))
+        return item
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        n_batches = n // self.batch_size
+        if n_batches == 0:
+            return
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    items = list(pool.map(self._fetch, idxs))
+                    xs = np.stack([it[0] for it in items])
+                    ys = np.asarray([it[1] for it in items], dtype=np.int32)
+                    out_q.put((xs, ys))
+            out_q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,132 @@
+"""Compiled inference engine — decode-to-logits as one streamed TPU graph.
+
+The onnxruntime replacement (SURVEY §2.9: the reference deploys every demo
+and eval through ONNX sessions, utils/inference_count.py:525-527). Here the
+model IS the engine: one jitted XLA program takes a batch of uint8 frame
+windows and returns logits. Characteristics:
+
+  * fixed shapes: (window_batch, T, crop, crop, 3) uint8 — one compile,
+    replayed for every chunk of every video; tails are zero-padded exactly
+    like the reference (inference_count.py:413-414).
+  * the normalize fma + (optionally) the 8-of-16 sparse temporal gather run
+    device-side, fused before conv1 (ops.preprocess).
+  * host decode (native/libwdvideo.so) overlaps with device compute: while
+    the TPU scores batch k, the host decodes video k+1 (double buffering
+    at the pipeline level via the async dispatch queue jax provides —
+    device_put + async dispatch means the python thread runs ahead).
+  * many windows per step: a whole video's windows are scored in a few
+    large MXU-efficient batches instead of the reference's one-clip-at-a-
+    time ONNX calls.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from workoutdetector_tpu.ops.preprocess import normalize_clip
+
+
+class InferenceEngine:
+    """Wraps (model, variables) into a fixed-shape scoring function.
+
+    Args:
+        model: flax module whose __call__(x, train=False) → logits.
+        variables: {'params', 'batch_stats'} pytree.
+        num_segments: frames per window (8).
+        window_batch: windows scored per device step.
+        image_size: spatial size of input frames.
+        input_rank: 5 for video models (B,T,H,W,C), 4 for image models
+            (B,H,W,C), 6 for TDN (B,T,5,H,W,C).
+    """
+
+    def __init__(self,
+                 model: Any,
+                 variables: Dict[str, Any],
+                 num_segments: int = 8,
+                 window_batch: int = 16,
+                 image_size: int = 224,
+                 input_rank: int = 5):
+        self.model = model
+        self.variables = variables
+        self.num_segments = num_segments
+        self.window_batch = window_batch
+        self.image_size = image_size
+        self.input_rank = input_rank
+        self._fn = self._build()
+
+    def _build(self):
+        model, variables = self.model, self.variables
+
+        @jax.jit
+        def run(x_u8: jnp.ndarray) -> jnp.ndarray:
+            x = normalize_clip(x_u8)
+            return model.apply(variables, x, train=False)
+
+        return run
+
+    # ---------------- core batched call ---------------- #
+    def score_windows(self, windows_u8: np.ndarray) -> np.ndarray:
+        """Score N windows (N, T, H, W, C) uint8 → (N, num_class) logits.
+
+        N is chunked/padded to window_batch so the compiled program is
+        reused for every call.
+        """
+        n = windows_u8.shape[0]
+        wb = self.window_batch
+        outs: List[np.ndarray] = []
+        for i in range(0, n, wb):
+            chunk = windows_u8[i:i + wb]
+            pad = wb - chunk.shape[0]
+            if pad > 0:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            logits = self._fn(jnp.asarray(chunk))
+            outs.append(np.asarray(logits[:chunk.shape[0] - pad if pad else wb]))
+        return np.concatenate(outs) if outs else np.zeros((0,), np.float32)
+
+    def score_images(self, images_u8: np.ndarray) -> np.ndarray:
+        """Image-model path: (N, H, W, C) uint8 → (N, num_class) logits."""
+        assert self.input_rank == 4
+        return self.score_windows(images_u8)
+
+    # ---------------- video scoring ---------------- #
+    def windows_for_video(self, total_frames: int, step: int = 8,
+                          window: int = 16, stride: int = 2) -> np.ndarray:
+        """Window start indices: every ``step`` frames (reference
+        inference_count.py:411 ``range(0, len(vid), 8)``)."""
+        return np.arange(0, max(total_frames, 1), step, dtype=np.int64)
+
+    def gather_windows(self, video_u8: np.ndarray, starts: np.ndarray,
+                       stride: int = 2) -> np.ndarray:
+        """Host-side sparse gather: frames [s, s+stride, ...] with zero-pad
+        (semantics of reference vid[i:i+16:2] + zero pad, :412-414)."""
+        t = video_u8.shape[0]
+        f = self.num_segments
+        out = np.zeros((len(starts), f) + video_u8.shape[1:], video_u8.dtype)
+        for k, s in enumerate(starts):
+            idx = np.arange(s, s + f * stride, stride)
+            valid = idx < t
+            out[k, :valid.sum()] = video_u8[idx[valid]]
+        return out
+
+    def score_video(self, video_u8: np.ndarray, step: int = 8,
+                    stride: int = 2) -> Tuple[np.ndarray, np.ndarray]:
+        """Score a whole decoded video.
+
+        Args:
+            video_u8: (T, H, W, C) uint8 prepped frames.
+        Returns:
+            (starts, logits): window start frame indices and (N, num_class).
+        """
+        starts = self.windows_for_video(video_u8.shape[0], step=step)
+        windows = self.gather_windows(video_u8, starts, stride=stride)
+        return starts, self.score_windows(windows)
+
+    def score_clip(self, clip_u8: np.ndarray) -> np.ndarray:
+        """Score one (T, H, W, C) window → (num_class,) logits."""
+        return self.score_windows(clip_u8[None])[0]

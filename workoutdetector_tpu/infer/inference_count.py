@@ -1,0 +1,207 @@
+"""Online repetition counting + dataset scoring/evaluation.
+
+API-compatible rebuild of reference workoutdetector/utils/inference_count.py
+(count_by_image_model :192-243, count_by_video_model :285-339,
+inference_dataset :342-421, eval_dataset :424-512) on the compiled TPU
+engine instead of ONNX sessions. Score JSON format matches the reference
+bit-for-bit in structure so downstream eval (counting.eval_score_dir) and
+the reference's own notebooks read either.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import time
+from bisect import bisect_left
+from collections import deque
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from workoutdetector_tpu.counting import majority_vote_states, pred_to_count
+from workoutdetector_tpu.data.repcount import RepcountHelper
+from workoutdetector_tpu.data.video import VideoReader, write_video
+from workoutdetector_tpu.infer.engine import InferenceEngine
+
+
+def write_count_video(video_path: str, output_path: str, reps: List[int],
+                      states: Sequence[int], step: int = 8) -> None:
+    """Overlay predicted class + running count on the video
+    (reference write_to_video, utils/inference_count.py:70-111)."""
+    import cv2
+    with VideoReader(video_path) as r:
+        fps = r.fps or 30.0
+        frames = r.read_raw()
+    per_frame = np.repeat(np.asarray(states), step)[:len(frames)]
+    h, w = frames.shape[1:3]
+    out = []
+    for idx, f in enumerate(frames[:len(per_frame)]):
+        f = f.copy()
+        count_idx = bisect_left(reps[::2], idx)
+        cv2.putText(f, f"class {int(per_frame[idx])}", (int(w * 0.2), int(h * 0.25)),
+                    cv2.FONT_HERSHEY_SIMPLEX, 1, (255, 0, 0), 2)
+        cv2.putText(f, f"count {count_idx}", (int(w * 0.25), int(h * 0.5)),
+                    cv2.FONT_HERSHEY_SIMPLEX, 1, (237, 136, 12), 2)
+        out.append(f)
+    if out:
+        write_video(output_path, np.stack(out), fps)
+
+
+def count_by_video_model(engine: InferenceEngine,
+                         video_path: str,
+                         ground_truth: Optional[List[int]] = None,
+                         video_out_path: Optional[str] = None
+                         ) -> Tuple[int, List[int]]:
+    """Count reps with the 8-frame video state classifier.
+
+    Matches reference count_by_video_model (:285-339): consecutive
+    non-overlapping 8-frame chunks → argmax class per chunk →
+    pred_to_count(step=8). All chunks of the video are scored in a few
+    batched device steps instead of per-chunk ONNX calls.
+    """
+    with VideoReader(video_path) as r:
+        video = r.read_prepped(256, engine.image_size)
+    t = len(video)
+    n_chunks = t // 8  # reference drops the last partial queue
+    if n_chunks == 0:
+        return 0, []
+    starts = np.arange(0, n_chunks * 8, 8)
+    windows = engine.gather_windows(video, starts, stride=1)  # dense 8 frames
+    logits = engine.score_windows(windows)
+    states = [int(np.argmax(l)) for l in logits]
+    count, reps = pred_to_count(states, step=8)
+    if video_out_path is not None:
+        write_count_video(video_path, video_out_path, reps, states, step=8)
+    return count, reps
+
+
+def count_by_image_model(engine: InferenceEngine,
+                         video_path: str,
+                         ground_truth: Optional[List[int]] = None,
+                         video_out_path: Optional[str] = None,
+                         pred_out_path: Optional[str] = None,
+                         threshold: float = 0.1) -> Tuple[int, List[int]]:
+    """Count reps with a per-frame image state classifier.
+
+    Matches reference count_by_image_model (:192-243): per-frame argmax →
+    7-deep majority vote (≥4) → binary state per frame →
+    pred_to_count(step=7). Frames are scored in large device batches.
+    """
+    with VideoReader(video_path) as r:
+        video = r.read_prepped(256, engine.image_size)
+    if len(video) == 0:
+        return 0, []
+    scores = engine.score_images(video)
+    argmaxes = np.argmax(scores, axis=1)
+    states = majority_vote_states(argmaxes, window=7)
+    count, reps = pred_to_count(states, step=7)
+    if pred_out_path is not None:
+        d = {"video_path": video_path, "step": 1,
+             "scores": {i: s.tolist() for i, s in enumerate(scores)}}
+        if not pred_out_path.endswith(".json"):
+            pred_out_path += ".json"
+        with open(pred_out_path, "w") as f:
+            json.dump(d, f)
+    if video_out_path is not None:
+        write_count_video(video_path, video_out_path, reps, states, step=7)
+    return count, reps
+
+
+def inference_dataset(engine: InferenceEngine,
+                      splits: List[str],
+                      out_dir: str,
+                      checkpoint: str,
+                      data_root: Optional[str] = None,
+                      anno_path: Optional[str] = None,
+                      step: int = 8,
+                      stride: int = 2) -> None:
+    """Score every RepCount video → per-video ``.score.json``.
+
+    JSON schema matches reference inference_dataset (:351-421):
+    video_name / model / input_shape / checkpoint / total_frames /
+    ground_truth / action / scores{start_frame: {class_id: score}}.
+    Windows are the sparse 8-of-16 samples every 8 frames (:411-414).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    if data_root is None:
+        data_root = osp.expanduser("~/data/RepCount/")
+    if anno_path is None:
+        anno_path = osp.join(data_root, "annotation.csv")
+    helper = RepcountHelper(data_root, anno_path)
+    data = helper.get_rep_data(splits, action=["all"])
+    for item in data.values():
+        with VideoReader(item.video_path) as r:
+            video = r.read_prepped(256, engine.image_size)
+        starts, logits = engine.score_video(video, step=step, stride=stride)
+        scores: Dict[int, Dict[int, float]] = {
+            int(s): {int(c): float(v) for c, v in enumerate(l)}
+            for s, l in zip(starts, logits)
+        }
+        res = dict(video_name=item.video_name,
+                   model="video_model",
+                   input_shape=[1, engine.num_segments, 3, engine.image_size,
+                                engine.image_size],
+                   checkpoint=checkpoint,
+                   total_frames=int(len(video)),
+                   ground_truth=item.reps,
+                   action=item.class_,
+                   scores=scores)
+        out_path = os.path.join(out_dir, f"{item.video_name}.score.json")
+        with open(out_path, "w") as f:
+            json.dump(res, f)
+
+
+def eval_dataset(engine: InferenceEngine,
+                 action: List[str],
+                 split: str,
+                 data_root: str,
+                 anno_path: Optional[str] = None,
+                 model_type: str = "video",
+                 output_dir: Optional[str] = None,
+                 csv_name: Optional[str] = None,
+                 save_video: bool = False,
+                 threshold: float = 0.7) -> Tuple[float, float]:
+    """Per-video counting over a split → helper.eval_count MAE/OBO + CSV.
+
+    Matches reference eval_dataset (:424-512).
+    """
+    if anno_path is None:
+        anno_path = os.path.join(data_root, "annotation.csv")
+    helper = RepcountHelper(data_root, anno_path)
+    items = helper.get_rep_data(split=[split], action=action)
+    pred_dict: Dict[str, int] = {}
+    for name, item in items.items():
+        out_path = None
+        if save_video and output_dir is not None:
+            out_path = os.path.join(output_dir, name)
+        if model_type == "video":
+            count, _ = count_by_video_model(engine, item.video_path,
+                                            ground_truth=item.reps,
+                                            video_out_path=out_path)
+        elif model_type == "image":
+            count, _ = count_by_image_model(engine, item.video_path,
+                                            ground_truth=item.reps,
+                                            video_out_path=out_path,
+                                            threshold=threshold)
+        else:
+            raise ValueError(f"Invalid model type: {model_type}")
+        pred_dict[name] = count
+    mae, obo_acc, eval_res = helper.eval_count(pred_dict, action=action,
+                                               split=[split])
+    if output_dir is not None:
+        import pandas as pd
+        rows = []
+        for item in eval_res.values():
+            d = dict(item.__dict__)
+            d.pop("video_path", None)
+            d.pop("frames_path", None)
+            rows.append(d)
+        if csv_name is None:
+            csv_name = f"eval_count_{model_type}_model.csv"
+        if os.path.isfile(os.path.join(output_dir, csv_name)):
+            csv_name = csv_name.split(".")[0] + "_" + str(time.time()) + ".csv"
+        os.makedirs(output_dir, exist_ok=True)
+        pd.DataFrame(rows).to_csv(os.path.join(output_dir, csv_name))
+    return mae, obo_acc

@@ -1,0 +1,75 @@
+"""Model factory (reference workoutdetector/models/build.py:13-31) plus
+state initialization helpers."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from workoutdetector_tpu.config import ModelConfig
+from workoutdetector_tpu.models.resnet import STAGE_SIZES, _make
+from workoutdetector_tpu.models.tsm import TSM
+from workoutdetector_tpu.models.tdn import TDN
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+           "fp32": jnp.float32}
+
+
+def build_model(cfg: ModelConfig) -> nn.Module:
+    """Dispatch on cfg.model_type ∈ {tsm, tdn, image}."""
+    dtype = _DTYPES[cfg.dtype]
+    mt = cfg.model_type.lower()
+    if mt == "tsm":
+        return TSM(num_class=cfg.num_class,
+                   num_segments=cfg.num_segments,
+                   base_model=cfg.base_model,
+                   is_shift=cfg.is_shift,
+                   shift_div=cfg.shift_div,
+                   shift_place=cfg.shift_place,
+                   consensus_type=cfg.consensus_type,
+                   dropout=cfg.dropout,
+                   partial_bn=cfg.partial_bn,
+                   dtype=dtype,
+                   shift_impl=cfg.shift_impl)
+    if mt == "tdn":
+        return TDN(num_class=cfg.num_class,
+                   num_segments=cfg.num_segments,
+                   num_frames=max(cfg.num_frames, 5),
+                   base_model=cfg.base_model,
+                   consensus_type=cfg.consensus_type,
+                   dropout=cfg.dropout,
+                   dtype=dtype)
+    if mt == "image":
+        # image-classifier path (reference train_img.py timm backbones →
+        # our ResNet zoo; other backbones plug in here)
+        if cfg.base_model not in STAGE_SIZES:
+            raise KeyError(f"Unknown image backbone '{cfg.base_model}'")
+        return _make(cfg.base_model, num_classes=cfg.num_class, dtype=dtype)
+    raise KeyError(f"Model '{cfg.model_type}' is not supported.")
+
+
+def example_input(cfg: ModelConfig, batch: int = 1, image_size: int = 224) -> jnp.ndarray:
+    """A zero input of the model's expected shape."""
+    mt = cfg.model_type.lower()
+    if mt == "tsm":
+        return jnp.zeros((batch, cfg.num_segments, image_size, image_size, 3),
+                         jnp.float32)
+    if mt == "tdn":
+        return jnp.zeros(
+            (batch, cfg.num_segments, max(cfg.num_frames, 5), image_size, image_size, 3),
+            jnp.float32)
+    return jnp.zeros((batch, image_size, image_size, 3), jnp.float32)
+
+
+def create_model_state(cfg: ModelConfig,
+                       rng: jax.Array,
+                       batch: int = 1,
+                       image_size: int = 224) -> Tuple[nn.Module, Dict[str, Any]]:
+    """Build the model and initialize {'params', 'batch_stats'}."""
+    model = build_model(cfg)
+    x = example_input(cfg, batch, image_size)
+    variables = model.init({"params": rng}, x, train=False)
+    return model, variables

@@ -1,0 +1,198 @@
+"""ResNet backbone in flax — NHWC, bf16-compute, TPU-native.
+
+From-scratch implementation shaped for XLA:TPU (not a torchvision port):
+  * NHWC layout end-to-end — channels ride the 128-lane dimension; convs
+    lower straight onto the MXU without layout transposes.
+  * compute dtype is configurable (bf16 default), params/BN stats stay fp32.
+  * a ``block_input_hook`` lets TSM inject its temporal shift in front of
+    each residual branch (semantics of reference models/tsm.py:104-139
+    make_temporal_shift, re-expressed as a functional hook instead of
+    module monkey-patching).
+  * partial-BN (reference models/tsm.py:285-299): every BatchNorm except
+    the stem's runs on running stats and never updates when
+    ``partial_bn`` — expressed per-module via ``use_running_average``.
+
+Naming matches torchvision's state-dict layout (conv1, bn1, layer{i}_{j},
+fc) so the torch→JAX checkpoint port (models/convert.py) is a pure
+key-mapping.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+ModuleDef = Any
+
+STAGE_SIZES = {
+    "resnet18": [2, 2, 2, 2],
+    "resnet34": [3, 4, 6, 3],
+    "resnet50": [3, 4, 6, 3],
+    "resnet101": [3, 4, 23, 3],
+}
+BOTTLENECK = {"resnet18": False, "resnet34": False, "resnet50": True, "resnet101": True}
+
+
+class BasicBlock(nn.Module):
+    """3x3-3x3 residual block (resnet18/34)."""
+    filters: int
+    strides: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+    norm: ModuleDef = nn.BatchNorm
+    input_hook: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = x if self.input_hook is None else self.input_hook(x)
+        y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides),
+                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
+                    name="conv1")(y)
+        y = self.norm(name="bn1")(y, use_running_average=not train)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = self.norm(name="bn2")(y, use_running_average=not train)
+        if self.downsample:
+            residual = nn.Conv(self.filters, (1, 1), (self.strides, self.strides),
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(residual)
+            residual = self.norm(name="downsample_bn")(residual,
+                                                       use_running_average=not train)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    """1x1-3x3-1x1 bottleneck block (resnet50/101), stride on the 3x3
+    (torchvision v1.5 placement, what the reference's base model uses)."""
+    filters: int
+    strides: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+    norm: ModuleDef = nn.BatchNorm
+    input_hook: Optional[Callable] = None
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = x if self.input_hook is None else self.input_hook(x)
+        y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(y)
+        y = self.norm(name="bn1")(y, use_running_average=not train)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides),
+                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
+                    name="conv2")(y)
+        y = self.norm(name="bn2")(y, use_running_average=not train)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters * self.expansion, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv3")(y)
+        y = self.norm(name="bn3")(y, use_running_average=not train)
+        if self.downsample:
+            residual = nn.Conv(self.filters * self.expansion, (1, 1),
+                               (self.strides, self.strides), use_bias=False,
+                               dtype=self.dtype, name="downsample_conv")(residual)
+            residual = self.norm(name="downsample_bn")(residual,
+                                                       use_running_average=not train)
+        return nn.relu(y + residual)
+
+
+class FrozenAwareBatchNorm(nn.BatchNorm):
+    """BatchNorm whose ``use_running_average`` can be forced True by a
+    ``frozen`` attribute — the partial-BN mechanism. Frozen modules never
+    update running stats (they are simply not marked mutable-dirty because
+    use_running_average short-circuits the update)."""
+    frozen: bool = False
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        if self.frozen:
+            use_running_average = True
+        return super().__call__(x, use_running_average=use_running_average)
+
+
+class ResNet(nn.Module):
+    """ResNet-18/34/50/101.
+
+    Args:
+        stage_sizes: blocks per stage.
+        bottleneck: use Bottleneck (True) or BasicBlock.
+        num_classes: 0 ⇒ return pooled features, else logits.
+        block_input_hook: fn(x, stage_idx, block_idx) → x applied at each
+            residual-branch input (TSM shift injection point).
+        partial_bn: freeze all BN except the stem's (reference partial-BN).
+        dtype: compute dtype (params remain fp32 by flax default).
+    """
+    stage_sizes: Sequence[int]
+    bottleneck: bool = True
+    num_classes: int = 1000
+    width: int = 64
+    dtype: Any = jnp.float32
+    partial_bn: bool = False
+    block_input_hook: Optional[Callable] = None
+    bn_momentum: float = 0.9
+    bn_eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, features_only: bool = False):
+        norm_stem = partial(FrozenAwareBatchNorm, momentum=self.bn_momentum,
+                            epsilon=self.bn_eps, dtype=self.dtype, frozen=False)
+        norm_body = partial(FrozenAwareBatchNorm, momentum=self.bn_momentum,
+                            epsilon=self.bn_eps, dtype=self.dtype,
+                            frozen=self.partial_bn)
+        block_cls = Bottleneck if self.bottleneck else BasicBlock
+
+        x = nn.Conv(self.width, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = norm_stem(name="bn1")(x, use_running_average=not train)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        for i, n_blocks in enumerate(self.stage_sizes):
+            filters = self.width * 2 ** i
+            for j in range(n_blocks):
+                strides = 2 if i > 0 and j == 0 else 1
+                expansion = 4 if self.bottleneck else 1
+                downsample = j == 0 and (strides != 1 or
+                                         x.shape[-1] != filters * expansion)
+                hook = None
+                if self.block_input_hook is not None:
+                    hook = partial(self.block_input_hook, stage_idx=i, block_idx=j)
+                x = block_cls(filters=filters,
+                              strides=strides,
+                              downsample=downsample,
+                              dtype=self.dtype,
+                              norm=norm_body,
+                              input_hook=hook,
+                              name=f"layer{i + 1}_{j}")(x, train=train)
+
+        x = jnp.mean(x, axis=(1, 2))  # global average pool → (N, C)
+        if features_only or self.num_classes == 0:
+            return x
+        x = nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(x)
+        return x
+
+
+def _make(name: str, **kw) -> ResNet:
+    return ResNet(stage_sizes=STAGE_SIZES[name], bottleneck=BOTTLENECK[name], **kw)
+
+
+def resnet18(**kw) -> ResNet:
+    return _make("resnet18", **kw)
+
+
+def resnet34(**kw) -> ResNet:
+    return _make("resnet34", **kw)
+
+
+def resnet50(**kw) -> ResNet:
+    return _make("resnet50", **kw)
+
+
+def resnet101(**kw) -> ResNet:
+    return _make("resnet101", **kw)

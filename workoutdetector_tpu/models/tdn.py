@@ -1,0 +1,269 @@
+"""TDN — Temporal Difference Network, TPU-native.
+
+Capability match of the reference TDN (workoutdetector/models/tdn.py):
+two-path stem (RGB center frame + stacked frame-diffs through a 12-channel
+conv), α/β fusion at layer1/2, FBResNet body whose stages 2-4 use
+BottleneckShift blocks (bottleneck + motion-excitation mSE + learnable
+temporal-shift conv), segment consensus head (TSN wrapper semantics,
+reference models/tsn.py:335-351).
+
+TPU re-design notes:
+  * input is (B, T, D=5, H, W, C) NHWC; all (B, T) pairs flatten into one
+    MXU batch.
+  * the learnable ShiftModule (reference tdn.py:337-376, a grouped Conv1d
+    over time) is expressed as a 3-tap depthwise temporal filter — three
+    weighted time-rolls, which XLA fuses; identical math, no im2col.
+  * mSE's F.interpolate is nearest-neighbor resize at trace-time-static
+    sizes (SURVEY §7 hard-part 7).
+  * FBResNet convs carry biases (reference tdn.py:431-442) — kept for
+    checkpoint-port parity.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _time_pad_shift(x: jnp.ndarray, direction: int) -> jnp.ndarray:
+    """Zero-padded shift along a leading time axis of (B, T, ...)."""
+    if direction == 1:  # y[t] = x[t+1]
+        return jnp.concatenate([x[:, 1:], jnp.zeros_like(x[:, :1])], axis=1)
+    if direction == -1:  # y[t] = x[t-1]
+        return jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, :-1]], axis=1)
+    return x
+
+
+class TemporalShiftConv(nn.Module):
+    """Learnable per-channel 3-tap temporal filter.
+
+    Equivalent to reference ShiftModule(mode='shift') (tdn.py:337-376): a
+    grouped Conv1d over T with kernels initialized to [left-shift,
+    right-shift, identity] per channel fold. Implemented as three weighted
+    time-rolls — same math, no layout permutes.
+    """
+    channels: int
+    n_segment: int = 8
+    n_div: int = 8
+    mode: str = "shift"
+
+    def _init_kernel(self, key) -> jnp.ndarray:
+        c = self.channels
+        fold = c // self.n_div
+        w = jnp.zeros((c, 3), jnp.float32)
+        if self.mode == "shift":
+            # taps: [w_prev, w_self, w_next]; conv1d kernel index 2 ⇒ next
+            w = w.at[:fold, 2].set(1.0)  # shift left
+            w = w.at[fold:2 * fold, 0].set(1.0)  # shift right
+            if 2 * fold < c:
+                w = w.at[2 * fold:, 1].set(1.0)  # fixed
+        elif self.mode == "fixed":
+            w = w.at[:, 1].set(1.0)
+        else:  # norm: random init
+            w = jax.random.normal(key, (c, 3)) * (1.0 / 3.0) ** 0.5
+        return w
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B*T, H, W, C) → same shape."""
+        bt, h, w_, c = x.shape
+        b = bt // self.n_segment
+        w = self.param("kernel", self._init_kernel)
+        xt = x.reshape(b, self.n_segment, h, w_, c)
+        y = (_time_pad_shift(xt, -1) * w[:, 0] + xt * w[:, 1] +
+             _time_pad_shift(xt, 1) * w[:, 2])
+        return y.reshape(bt, h, w_, c)
+
+
+class MSEModule(nn.Module):
+    """Motion excitation (reference mSEModule, tdn.py:196-334): bottleneck
+    1x1, forward/backward temporal feature diffs at two scales, sigmoid
+    gate x + x*y."""
+    channels: int
+    n_segment: int = 8
+    reduction: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        bt, h, w, c = x.shape
+        b = bt // self.n_segment
+        r = self.channels // self.reduction
+        norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
+                       epsilon=1e-5, dtype=self.dtype)
+
+        bott = nn.Conv(r, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        bott = norm(name="bn1")(bott)
+        conv_bott = nn.Conv(r, (3, 3), padding=[(1, 1), (1, 1)], feature_group_count=r,
+                            use_bias=False, dtype=self.dtype, name="conv2")(bott)
+
+        bt_shape = (b, self.n_segment, h, w, r)
+        bott_t = bott.reshape(bt_shape)
+        conv_t = conv_bott.reshape(bt_shape)
+        # forward diff: conv(t+1) - raw(t), zero at last t
+        diff_fwd = jnp.concatenate(
+            [conv_t[:, 1:] - bott_t[:, :-1],
+             jnp.zeros_like(bott_t[:, :1])], axis=1).reshape(bt, h, w, r)
+        # backward diff: conv(t-1) - raw(t), zero at first t
+        diff_bwd = jnp.concatenate(
+            [jnp.zeros_like(bott_t[:, :1]),
+             conv_t[:, :-1] - bott_t[:, 1:]], axis=1).reshape(bt, h, w, r)
+
+        conv_s2 = nn.Conv(r, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                          dtype=self.dtype, name="conv3_smallscale2")
+        bn_s2 = norm(name="bn3_smallscale2")
+        conv_s4 = nn.Conv(r, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                          dtype=self.dtype, name="conv3_smallscale4")
+        bn_s4 = norm(name="bn3_smallscale4")
+        conv3 = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="conv3")
+        bn3 = norm(name="bn3")
+
+        def branch(diff):
+            pooled = nn.avg_pool(diff, (2, 2), strides=(2, 2))
+            y2 = bn_s2(conv_s2(pooled))
+            y2 = jax.image.resize(y2, diff.shape, method="nearest")
+            y4 = bn_s4(conv_s4(diff))
+            y = bn3(conv3(diff / 3.0 + y2 / 3.0 + y4 / 3.0))
+            return nn.sigmoid(y) - 0.5
+
+        y = 0.5 * branch(diff_fwd) + 0.5 * branch(diff_bwd)
+        return x + x * y
+
+
+class TDNBottleneck(nn.Module):
+    """FBResNet bottleneck (convs with bias, reference tdn.py:421-469);
+    with_shift adds mSE + temporal shift after conv1 (BottleneckShift,
+    tdn.py:472-520)."""
+    filters: int
+    n_segment: int
+    strides: int = 1
+    downsample: bool = False
+    with_shift: bool = False
+    dtype: Any = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
+                       epsilon=1e-5, dtype=self.dtype)
+        residual = x
+        y = nn.Conv(self.filters, (1, 1), use_bias=True, dtype=self.dtype,
+                    name="conv1")(x)
+        y = norm(name="bn1")(y)
+        y = nn.relu(y)
+        if self.with_shift:
+            y = MSEModule(self.filters, n_segment=self.n_segment, dtype=self.dtype,
+                          name="mse")(y, train=train)
+            y = TemporalShiftConv(self.filters, n_segment=self.n_segment,
+                                  name="shift")(y)
+        y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides),
+                    padding=[(1, 1), (1, 1)], use_bias=True, dtype=self.dtype,
+                    name="conv2")(y)
+        y = norm(name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters * self.expansion, (1, 1), use_bias=True,
+                    dtype=self.dtype, name="conv3")(y)
+        y = norm(name="bn3")(y)
+        if self.downsample:
+            residual = nn.Conv(self.filters * self.expansion, (1, 1),
+                               (self.strides, self.strides), use_bias=True,
+                               dtype=self.dtype, name="downsample_conv")(residual)
+            residual = norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+def _stage(x, *, name, filters, blocks, n_segment, strides, with_shift, dtype, train):
+    for j in range(blocks):
+        s = strides if j == 0 else 1
+        downsample = j == 0 and (s != 1 or x.shape[-1] != filters * 4)
+        x = TDNBottleneck(filters=filters,
+                          n_segment=n_segment,
+                          strides=s,
+                          downsample=downsample,
+                          with_shift=with_shift,
+                          dtype=dtype,
+                          name=f"{name}_{j}")(x, train=train)
+    return x
+
+
+TDN_STAGES = {"resnet50": [3, 4, 6, 3], "resnet101": [3, 4, 23, 3]}
+
+
+class TDN(nn.Module):
+    """Temporal Difference Network.
+
+    Call: logits = model(x, train) with x (B, T, 5, H, W, C) float.
+    """
+    num_class: int
+    num_segments: int = 8
+    num_frames: int = 5
+    base_model: str = "resnet50"
+    consensus_type: str = "avg"
+    dropout: float = 0.5
+    dtype: Any = jnp.float32
+    # fusion weights (reference tdn.py:189-192: 0.5/0.5 for 8 seg else 0.75/0.25)
+    alpha: Optional[float] = None
+    beta: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        b, t, d, h, w, c = x.shape
+        assert d == self.num_frames == 5, "TDN uses 5-frame bursts"
+        alpha = self.alpha if self.alpha is not None else (0.5 if t == 8 else 0.75)
+        beta = self.beta if self.beta is not None else (0.5 if t == 8 else 0.25)
+        stages = TDN_STAGES[self.base_model]
+        norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
+                       epsilon=1e-5, dtype=self.dtype)
+
+        x = x.reshape(b * t, d, h, w, c).astype(self.dtype)
+        frames = [x[:, i] for i in range(5)]  # 5 × (B*T, H, W, C)
+        diffs = jnp.concatenate(
+            [frames[i + 1] - frames[i] for i in range(4)], axis=-1)  # (B*T, H, W, 12)
+
+        # diff path (reference tdn.py:150-156)
+        xd = nn.avg_pool(diffs, (2, 2), strides=(2, 2))
+        xd = nn.Conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
+                     dtype=self.dtype, name="conv1_5")(xd)
+        xd = norm(name="bn1_5")(xd)
+        xd = nn.relu(xd)
+        xd = nn.max_pool(xd, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        temp_out_diff1 = xd
+        xd = _stage(xd, name="resnext_layer1", filters=64, blocks=stages[0],
+                    n_segment=t, strides=1, with_shift=False, dtype=self.dtype,
+                    train=train)
+
+        # RGB path on center frame (reference tdn.py:157-167)
+        y = nn.Conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], use_bias=True,
+                    dtype=self.dtype, name="conv1")(frames[2])
+        y = norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        up1 = jax.image.resize(temp_out_diff1, y.shape, method="nearest")
+        y = alpha * y + beta * up1
+        y = _stage(y, name="layer1", filters=64, blocks=stages[0], n_segment=t,
+                   strides=1, with_shift=False, dtype=self.dtype, train=train)
+        up2 = jax.image.resize(xd, y.shape, method="nearest")
+        y = alpha * y + beta * up2
+        y = _stage(y, name="layer2", filters=128, blocks=stages[1], n_segment=t,
+                   strides=2, with_shift=True, dtype=self.dtype, train=train)
+        y = _stage(y, name="layer3", filters=256, blocks=stages[2], n_segment=t,
+                   strides=2, with_shift=True, dtype=self.dtype, train=train)
+        y = _stage(y, name="layer4", filters=512, blocks=stages[3], n_segment=t,
+                   strides=2, with_shift=True, dtype=self.dtype, train=train)
+
+        feat = jnp.mean(y, axis=(1, 2))  # (B*T, 2048)
+        feat = nn.Dropout(self.dropout, deterministic=not train)(feat)
+        logits = nn.Dense(self.num_class, dtype=self.dtype,
+                          kernel_init=nn.initializers.normal(0.01),
+                          bias_init=nn.initializers.zeros, name="new_fc")(feat)
+        logits = logits.reshape(b, t, self.num_class)
+        if self.consensus_type == "avg":
+            logits = jnp.mean(logits.astype(jnp.float32), axis=1)
+        else:
+            logits = logits.astype(jnp.float32)
+        return logits

@@ -1,0 +1,8 @@
+from workoutdetector_tpu.parallel.mesh import (create_mesh, batch_sharding,
+                                               replicated_sharding, shard_batch,
+                                               local_batch_size)
+
+__all__ = [
+    "create_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
+    "local_batch_size"
+]

@@ -1,0 +1,73 @@
+"""Device mesh & sharding helpers.
+
+The TPU-native replacement for the reference's gloo DDP stack (SURVEY §2.8:
+torch.distributed.launch + DDPStrategy + all_gather). Here distribution is
+declarative: one ``Mesh`` over ICI, ``NamedSharding`` annotations on the
+train step's inputs, and XLA inserts the gradient psum — no NCCL/MPI-style
+calls anywhere.
+
+The mesh carries two axes from day one — ``data`` (batch/DP) and ``model``
+(reserved for tensor/temporal sharding) — so the framework is not DP-only
+by construction, even though every reference workload is DP
+(SURVEY §2.8 TPU-equivalent note).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(devices: Optional[Sequence[jax.Device]] = None,
+                data: int = -1,
+                model: int = 1,
+                axis_names: Sequence[str] = ("data", "model")) -> Mesh:
+    """Create a 2D (data, model) mesh.
+
+    data == -1 ⇒ use all remaining devices on the data axis.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, axis_names=tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis; replicate the rest."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def local_batch_size(global_batch: int, mesh: Mesh, axis: str = "data") -> int:
+    n = mesh.shape[axis]
+    assert global_batch % n == 0, \
+        f"global batch {global_batch} not divisible by {axis} axis size {n}"
+    return global_batch // n
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """device_put a host pytree with the leading dim sharded over ``axis``.
+
+    Per-host data sharding: each host feeds only its slice in multi-host
+    runs (jax.device_put with NamedSharding handles the single-host case;
+    multi-host feeds go through jax.make_array_from_process_local_data).
+    """
+    sharding = batch_sharding(mesh, axis)
+
+    def put(x):
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)

@@ -1,0 +1,179 @@
+"""Optimizer policies and LR schedules in optax.
+
+Re-expresses the reference's per-parameter-group TSN policies
+(workoutdetector/models/optimizer.py:38-182 and models/tsm.py:304-407) as a
+label-based optax.multi_transform, and its scheduler zoo (StepLR,
+cosine/multistep + GradualWarmupScheduler, models/optimizer.py:13-35,
+185-253) as optax schedules. SURVEY §7 hard-part 3.
+
+Group → (lr_mult, decay_mult) table (reference optimizer.py:93-182):
+    first_conv_weight (1, 1)   first_conv_bias (2, 0)
+    normal_weight     (1, 1)   normal_bias     (2, 0)
+    bn                (1, 0)   frozen          (0, 0)   [partial-BN]
+    lr5_weight        (5, 1)   lr10_bias       (10, 0)  [fc_lr5]
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import traverse_util
+
+from workoutdetector_tpu.config import LRSchedulerConfig, OptimizerConfig
+
+POLICY_TABLE: Dict[str, Tuple[float, float]] = {
+    "first_conv_weight": (1.0, 1.0),
+    "first_conv_bias": (2.0, 0.0),
+    "normal_weight": (1.0, 1.0),
+    "normal_bias": (2.0, 0.0),
+    "bn": (1.0, 0.0),
+    "frozen": (0.0, 0.0),
+    "lr5_weight": (5.0, 1.0),
+    "lr10_bias": (10.0, 0.0),
+}
+
+
+def _is_bn_module(mod: str) -> bool:
+    return mod.startswith("bn") or mod.endswith("bn") or "BatchNorm" in mod
+
+
+def _is_stem_bn(path: Tuple[str, ...]) -> bool:
+    """The first BN in reference traversal order is the stem's bn1 —
+    the only BN that stays live under partial-BN (tsm.py:285-299)."""
+    mod = path[-2]
+    return mod == "bn1" and not any(p.startswith("layer") or p.startswith("resnext")
+                                    for p in path)
+
+
+def classify_param(path: Tuple[str, ...],
+                   partial_bn: bool = True,
+                   fc_lr5: bool = True) -> str:
+    """Map a flattened param path to its TSN policy group.
+
+    Mirrors the module-walk of reference tsn_optim_policies
+    (optimizer.py:52-91) expressed over param paths instead of live modules.
+    """
+    leaf = path[-1]
+    mod = path[-2] if len(path) >= 2 else ""
+
+    if _is_bn_module(mod) and leaf in ("scale", "bias"):
+        if partial_bn and not _is_stem_bn(path):
+            return "frozen"
+        return "bn"
+
+    if mod in ("fc", "new_fc", "head"):
+        if fc_lr5:
+            return "lr5_weight" if leaf == "kernel" else "lr10_bias"
+        return "normal_weight" if leaf == "kernel" else "normal_bias"
+
+    # stem conv (first conv in reference traversal: models/tsm.py:320-324)
+    if mod == "conv1" and not any(
+            p.startswith("layer") or p.startswith("resnext") or p == "mse"
+            for p in path):
+        return "first_conv_weight" if leaf == "kernel" else "first_conv_bias"
+
+    if leaf == "kernel":
+        return "normal_weight"
+    return "normal_bias"
+
+
+def label_params(params: Any, partial_bn: bool = True, fc_lr5: bool = True) -> Any:
+    """Pytree of policy labels matching ``params``' structure."""
+    flat = traverse_util.flatten_dict(params)
+    labels = {k: classify_param(k, partial_bn, fc_lr5) for k in flat}
+    return traverse_util.unflatten_dict(labels)
+
+
+def build_schedule(cfg: LRSchedulerConfig,
+                   base_lr: float,
+                   steps_per_epoch: int,
+                   max_epochs: int) -> optax.Schedule:
+    """LR schedule factory: steplr | cosine | multistep, with optional
+    linear warmup from base_lr/multiplier → base_lr (GradualWarmupScheduler
+    semantics, reference optimizer.py:185-226)."""
+    policy = cfg.policy.lower()
+    warmup_steps = int(cfg.warmup_epochs * steps_per_epoch)
+    main_epochs = max(max_epochs - cfg.warmup_epochs, 1)
+
+    if policy in ("steplr", "step"):
+        main = optax.exponential_decay(init_value=base_lr,
+                                       transition_steps=cfg.step * steps_per_epoch,
+                                       decay_rate=cfg.gamma,
+                                       staircase=True)
+    elif policy == "cosine":
+        main = optax.cosine_decay_schedule(init_value=base_lr,
+                                           decay_steps=int(main_epochs *
+                                                           steps_per_epoch),
+                                           alpha=cfg.eta_min / base_lr)
+    elif policy == "multistep":
+        boundaries = {
+            int((m - cfg.warmup_epochs) * steps_per_epoch): cfg.gamma
+            for m in cfg.lr_steps
+        }
+        main = optax.piecewise_constant_schedule(init_value=base_lr,
+                                                 boundaries_and_scales=boundaries)
+    else:
+        raise NotImplementedError(f"lr policy '{cfg.policy}' not supported")
+
+    if warmup_steps > 0:
+        warmup = optax.linear_schedule(init_value=base_lr / cfg.warmup_multiplier,
+                                       end_value=base_lr,
+                                       transition_steps=warmup_steps)
+        return optax.join_schedules([warmup, main], [warmup_steps])
+    return main
+
+
+def _sgd_group(lr_mult: float, decay_mult: float, schedule: optax.Schedule,
+               momentum: float, weight_decay: float) -> optax.GradientTransformation:
+    """torch-SGD-ordered update: wd folds into grad BEFORE momentum
+    (torch semantics, which the reference relies on)."""
+    if lr_mult == 0.0:
+        return optax.set_to_zero()
+    parts = []
+    if weight_decay * decay_mult > 0:
+        parts.append(optax.add_decayed_weights(weight_decay * decay_mult))
+    if momentum > 0:
+        parts.append(optax.trace(decay=momentum))
+    parts.append(optax.scale(lr_mult))
+    parts.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*parts)
+
+
+def build_optimizer(opt_cfg: OptimizerConfig,
+                    sched_cfg: LRSchedulerConfig,
+                    params: Any,
+                    steps_per_epoch: int,
+                    max_epochs: int,
+                    partial_bn: bool = True,
+                    fc_lr5: bool = True) -> Tuple[optax.GradientTransformation,
+                                                  optax.Schedule]:
+    """Build the full optimizer.
+
+    use_tsn_policies ⇒ multi_transform over the policy groups (the
+    reference's TSM/TSN path, trainer.py:110-117); otherwise flat SGD/AdamW
+    (trainer.py:118-131).
+    """
+    schedule = build_schedule(sched_cfg, opt_cfg.lr, steps_per_epoch, max_epochs)
+    method = opt_cfg.method.lower()
+
+    if opt_cfg.use_tsn_policies and method == "sgd":
+        transforms = {
+            name: _sgd_group(lr_mult, decay_mult, schedule, opt_cfg.momentum,
+                             opt_cfg.weight_decay)
+            for name, (lr_mult, decay_mult) in POLICY_TABLE.items()
+        }
+        labels = label_params(params, partial_bn=partial_bn, fc_lr5=fc_lr5)
+        return optax.multi_transform(transforms, labels), schedule
+
+    if method == "sgd":
+        tx = optax.chain(optax.add_decayed_weights(opt_cfg.weight_decay),
+                         optax.trace(decay=opt_cfg.momentum),
+                         optax.scale_by_learning_rate(schedule))
+        return tx, schedule
+    if method == "adamw":
+        return optax.adamw(schedule, eps=opt_cfg.eps,
+                           weight_decay=opt_cfg.weight_decay), schedule
+    raise NotImplementedError(f"optimizer '{opt_cfg.method}' not supported")

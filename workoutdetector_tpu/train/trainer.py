@@ -1,0 +1,277 @@
+"""Sharded training loop — the Lightning-equivalent harness, TPU-native.
+
+Capability match of the reference trainer (workoutdetector/trainer.py:25-330
+LitModel/DataModule/train/test) re-architected for JAX:
+
+  * ONE jitted train step over a (data, model) Mesh: the global uint8 batch
+    is sharded on the data axis (NamedSharding), params are replicated, and
+    XLA inserts the gradient all-reduce over ICI — the declarative
+    equivalent of DDP + gloo (SURVEY §2.8).
+  * metrics (loss/acc) are computed on the global batch inside the same
+    program — the psum replaces the reference's cross-rank
+    ``self.all_gather`` (trainer.py:90).
+  * normalize(uint8→float) is traced into the step so it fuses with conv1.
+  * partial-BN: frozen stats never update (model-side) and frozen
+    scale/bias get zero updates (optimizer-side label 'frozen').
+  * checkpointing: orbax, best-by-val-acc + last, with resume
+    (reference ModelCheckpoint semantics, trainer.py:230-243).
+  * fast_dev_run: one-batch end-to-end smoke (reference
+    tests/test_trainer.py:20-57).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from workoutdetector_tpu.config import Config
+from workoutdetector_tpu.data.datasets import build_dataset
+from workoutdetector_tpu.data.loader import DataLoader
+from workoutdetector_tpu.models.factory import build_model, example_input
+from workoutdetector_tpu.ops.preprocess import normalize_clip
+from workoutdetector_tpu.parallel.mesh import (batch_sharding, create_mesh,
+                                               replicated_sharding, shard_batch)
+from workoutdetector_tpu.train.loggers import build_loggers
+from workoutdetector_tpu.train.optim import build_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
+class Trainer:
+    """Train/eval driver. One instance per run."""
+
+    def __init__(self, cfg: Config, mesh: Optional[jax.sharding.Mesh] = None):
+        self.cfg = cfg
+        self.model = build_model(cfg.model)
+        self.mesh = mesh if mesh is not None else create_mesh(
+            model=cfg.parallel.model_axis)
+        self.rng = jax.random.PRNGKey(cfg.seed)
+        self.best_val_acc = 0.0
+        self._step_fns: Dict[str, Any] = {}
+
+    # ------------------------------------------------------------------ #
+    # state
+    # ------------------------------------------------------------------ #
+    def init_state(self, steps_per_epoch: int, image_size: int = 224) -> TrainState:
+        x = example_input(self.cfg.model, batch=1, image_size=image_size)
+        variables = self.model.init({"params": self.rng}, x, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        self.tx, self.schedule = build_optimizer(self.cfg.optimizer,
+                                                 self.cfg.lr_scheduler,
+                                                 params,
+                                                 steps_per_epoch=max(steps_per_epoch, 1),
+                                                 max_epochs=self.cfg.trainer.max_epochs,
+                                                 partial_bn=self.cfg.model.partial_bn,
+                                                 fc_lr5=self.cfg.model.fc_lr5)
+        state = TrainState(step=jnp.zeros((), jnp.int32),
+                           params=params,
+                           batch_stats=batch_stats,
+                           opt_state=self.tx.init(params))
+        # replicate across the mesh
+        return jax.device_put(state, replicated_sharding(self.mesh))
+
+    # ------------------------------------------------------------------ #
+    # compiled steps
+    # ------------------------------------------------------------------ #
+    def _make_train_step(self):
+        model, tx = self.model, self.tx
+        base_key = jax.random.PRNGKey(self.cfg.seed + 1)
+
+        def train_step(state: TrainState, x_u8: jnp.ndarray, y: jnp.ndarray):
+            x = normalize_clip(x_u8)
+            dropout_rng = jax.random.fold_in(base_key, state.step)
+
+            def loss_fn(params):
+                out, updates = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    x,
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": dropout_rng})
+                loss = cross_entropy_loss(out, y)
+                return loss, (out, updates.get("batch_stats", state.batch_stats))
+
+            (loss, (logits, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
+            new_state = state.replace(step=state.step + 1,
+                                      params=new_params,
+                                      batch_stats=new_stats,
+                                      opt_state=new_opt)
+            return new_state, {"loss": loss, "acc": acc}
+
+        return jax.jit(
+            train_step,
+            in_shardings=(replicated_sharding(self.mesh),
+                          batch_sharding(self.mesh), batch_sharding(self.mesh)),
+            donate_argnums=(0,))
+
+    def _make_eval_step(self):
+        model = self.model
+
+        def eval_step(state: TrainState, x_u8: jnp.ndarray, y: jnp.ndarray):
+            x = normalize_clip(x_u8)
+            logits = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                x,
+                train=False)
+            loss = cross_entropy_loss(logits, y)
+            correct = jnp.sum((jnp.argmax(logits, -1) == y).astype(jnp.int32))
+            return {"loss": loss, "correct": correct, "total": y.shape[0]}
+
+        return jax.jit(
+            eval_step,
+            in_shardings=(replicated_sharding(self.mesh),
+                          batch_sharding(self.mesh), batch_sharding(self.mesh)))
+
+    def train_step_fn(self):
+        if "train" not in self._step_fns:
+            self._step_fns["train"] = self._make_train_step()
+        return self._step_fns["train"]
+
+    def eval_step_fn(self):
+        if "eval" not in self._step_fns:
+            self._step_fns["eval"] = self._make_eval_step()
+        return self._step_fns["eval"]
+
+    # ------------------------------------------------------------------ #
+    # loops
+    # ------------------------------------------------------------------ #
+    def _loader(self, split: str, shuffle: bool) -> DataLoader:
+        ds = build_dataset(self.cfg.data, split)
+        return DataLoader(ds,
+                          batch_size=self.cfg.data.batch_size,
+                          shuffle=shuffle,
+                          num_workers=self.cfg.data.num_workers,
+                          seed=self.cfg.seed)
+
+    def evaluate(self, state: TrainState, loader: DataLoader) -> Dict[str, float]:
+        eval_step = self.eval_step_fn()
+        tot_correct, tot, tot_loss, n_batches = 0, 0, 0.0, 0
+        for x, y in loader:
+            batch = shard_batch((x, y), self.mesh)
+            m = eval_step(state, *batch)
+            tot_correct += int(m["correct"])
+            tot += int(m["total"])
+            tot_loss += float(m["loss"])
+            n_batches += 1
+        if tot == 0:
+            return {"acc": 0.0, "loss": 0.0}
+        return {"acc": tot_correct / tot, "loss": tot_loss / max(n_batches, 1)}
+
+    def fit(self, ckpt_dir: Optional[str] = None) -> Tuple[TrainState, Dict[str, float]]:
+        """Full training loop. Returns (final_state, summary metrics)."""
+        cfg = self.cfg
+        timestamp = time.strftime("%Y%m%d-%H%M%S")
+        log_dir = os.path.join(cfg.trainer.default_root_dir, timestamp)
+        os.makedirs(log_dir, exist_ok=True)
+        loggers = build_loggers(cfg, log_dir)
+        loggers.log_hyperparams(cfg.to_dict())
+
+        train_loader = self._loader("train", shuffle=True)
+        val_loader = self._loader("val", shuffle=False)
+        steps_per_epoch = max(len(train_loader), 1)
+        state = self.init_state(steps_per_epoch, image_size=cfg.data.image_size)
+
+        if ckpt_dir is None:
+            ckpt_dir = cfg.callbacks.modelcheckpoint.dirpath or log_dir
+        from workoutdetector_tpu.train.checkpoint import CheckpointManager
+        ckpt = CheckpointManager(ckpt_dir) if cfg.trainer.enable_checkpointing else None
+        if cfg.trainer.resume_from_checkpoint and ckpt is not None:
+            state, meta = ckpt.restore(cfg.trainer.resume_from_checkpoint, state)
+            self.best_val_acc = meta.get("best_val_acc", 0.0)
+
+        train_step = self.train_step_fn()
+        max_epochs = 1 if cfg.trainer.fast_dev_run else cfg.trainer.max_epochs
+        history: Dict[str, float] = {}
+        global_step = int(state.step)
+        for epoch in range(max_epochs):
+            train_loader.set_epoch(epoch)
+            for x, y in train_loader:
+                bx, by = shard_batch((x, y), self.mesh)
+                state, metrics = train_step(state, bx, by)
+                global_step += 1
+                if global_step % cfg.trainer.log_every_n_steps == 0 or \
+                        cfg.trainer.fast_dev_run:
+                    lr = float(self.schedule(global_step))
+                    loggers.log_metrics(
+                        {
+                            "train/loss": float(metrics["loss"]),
+                            "train/acc": float(metrics["acc"]),
+                            "lr": lr,
+                        },
+                        step=global_step)
+                if cfg.trainer.fast_dev_run:
+                    break
+                if 0 < cfg.trainer.max_steps <= global_step:
+                    break
+
+            if (epoch + 1) % cfg.trainer.check_val_every_n_epoch == 0:
+                val = self.evaluate(state, val_loader)
+                loggers.log_metrics({f"val/{k}": v for k, v in val.items()},
+                                    step=global_step)
+                history = {"val/acc": val["acc"], "val/loss": val["loss"]}
+                if val["acc"] >= self.best_val_acc:
+                    self.best_val_acc = val["acc"]
+                    if ckpt is not None:
+                        ckpt.save(state, name="best",
+                                  meta={"best_val_acc": self.best_val_acc,
+                                        "epoch": epoch,
+                                        "timestamp": timestamp})
+                loggers.log_metrics({"val/best_acc": self.best_val_acc},
+                                    step=global_step)
+            if cfg.trainer.fast_dev_run:
+                break
+            if 0 < cfg.trainer.max_steps <= global_step:
+                break
+        if ckpt is not None:
+            ckpt.save(state, name="last", meta={"best_val_acc": self.best_val_acc})
+        history["best_val_acc"] = self.best_val_acc
+        loggers.close()
+        return state, history
+
+    def test(self, state: TrainState) -> Dict[str, float]:
+        split = "test" if self.cfg.data.test.anno or \
+            self.cfg.data.dataset_type == "DebugDataset" else "val"
+        return self.evaluate(state, self._loader(split, shuffle=False))
+
+
+def train(cfg: Config) -> Dict[str, float]:
+    """Top-level train entry (reference trainer.py:213-322 train())."""
+    trainer = Trainer(cfg)
+    state, history = trainer.fit()
+    if not cfg.trainer.fast_dev_run:
+        history.update({f"test/{k}": v for k, v in trainer.test(state).items()})
+    return history
+
+
+def test(cfg: Config) -> Dict[str, float]:
+    """Top-level test entry (reference trainer.py:203-210)."""
+    trainer = Trainer(cfg)
+    state = trainer.init_state(steps_per_epoch=1, image_size=cfg.data.image_size)
+    if cfg.checkpoint:
+        from workoutdetector_tpu.train.checkpoint import CheckpointManager
+        state, _ = CheckpointManager(os.path.dirname(cfg.checkpoint)).restore(
+            cfg.checkpoint, state)
+    return trainer.test(state)
