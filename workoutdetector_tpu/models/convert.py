@@ -1,0 +1,210 @@
+"""torch → JAX checkpoint port tool.
+
+Faithfully reproduces the reference's checkpoint key surgery
+(models/tsm.py:451-473: strip DDP 'module.' prefixes, remap fc keys,
+tolerate fc-shape mismatch; models/tdn.py:46-72: add/remove '.net'
+wrappers, drop mismatched fc) and converts torchvision-layout state dicts
+into this framework's flax param/batch_stats trees:
+
+  torch OIHW conv weights  → flax HWIO kernels
+  torch (out,in) fc weight → flax (in,out) kernel
+  bn weight/bias           → params.scale/.bias
+  bn running_mean/var      → batch_stats.mean/.var
+  layer{i}.{j}.*           → layer{i}_{j}.* module names
+
+Works without torchvision: any torch-format ``state_dict`` (or a raw
+{key: ndarray} mapping) is accepted.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import numpy as np
+from flax import traverse_util
+
+
+def _to_numpy(v: Any) -> np.ndarray:
+    if hasattr(v, "detach"):  # torch tensor
+        return v.detach().cpu().numpy()
+    return np.asarray(v)
+
+
+def strip_ddp_prefix(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Remove the leading 'module.' that DDP training adds
+    (reference tsm.py:463-464 strips the first dotted component)."""
+    out = {}
+    for k, v in state_dict.items():
+        out[k[len("module."):] if k.startswith("module.") else k] = v
+    return out
+
+
+def strip_shift_wrappers(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Remove '.net' segments introduced by the torch TemporalShift module
+    wrapping convs (reference tsm.py:134-136; tdn.py:53-61 handles the
+    same rename in reverse)."""
+    return {k.replace(".net.", "."): v for k, v in state_dict.items()}
+
+
+def _torch_key_to_flax(key: str) -> Optional[Tuple[Tuple[str, ...], str]]:
+    """Map one torchvision-resnet-style key to (flax_path, collection).
+
+    collection ∈ {'params', 'batch_stats', None(skip)}.
+    """
+    if key.endswith("num_batches_tracked"):
+        return None
+    parts = key.split(".")
+    # layer{i}.{j}.rest → layer{i}_{j}.rest ; downsample.0→downsample_conv,
+    # downsample.1→downsample_bn
+    mapped = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if re.fullmatch(r"layer\d+", p) and i + 1 < len(parts) and \
+                parts[i + 1].isdigit():
+            mapped.append(f"{p}_{parts[i + 1]}")
+            i += 2
+            continue
+        if p == "downsample" and i + 1 < len(parts) and parts[i + 1] in ("0", "1"):
+            mapped.append("downsample_conv" if parts[i + 1] == "0" else
+                          "downsample_bn")
+            i += 2
+            continue
+        mapped.append(p)
+        i += 1
+
+    leaf = mapped[-1]
+    module = mapped[-2] if len(mapped) >= 2 else ""
+    is_bn = module.startswith("bn") or module.endswith("bn")
+    if leaf == "running_mean":
+        return tuple(mapped[:-1] + ["mean"]), "batch_stats"
+    if leaf == "running_var":
+        return tuple(mapped[:-1] + ["var"]), "batch_stats"
+    if is_bn and leaf == "weight":
+        return tuple(mapped[:-1] + ["scale"]), "params"
+    if is_bn and leaf == "bias":
+        return tuple(mapped[:-1] + ["bias"]), "params"
+    if leaf == "weight":
+        return tuple(mapped[:-1] + ["kernel"]), "params"
+    if leaf == "bias":
+        return tuple(mapped[:-1] + ["bias"]), "params"
+    return tuple(mapped), "params"
+
+
+def _convert_value(path: Tuple[str, ...], v: np.ndarray) -> np.ndarray:
+    if path[-1] == "kernel":
+        if v.ndim == 4:  # conv OIHW → HWIO
+            return np.transpose(v, (2, 3, 1, 0))
+        if v.ndim == 2:  # linear (out,in) → (in,out)
+            return np.transpose(v, (1, 0))
+        if v.ndim == 3:  # conv1d (out, in/groups, k) — temporal shift conv
+            return np.transpose(v, (2, 1, 0))
+    return v
+
+
+def torch_resnet_to_flax(state_dict: Mapping[str, Any],
+                         prefix: Tuple[str, ...] = ()) -> Dict[str, Any]:
+    """Convert a torchvision-style resnet state dict → {'params',
+    'batch_stats'} nested dicts, module names matching models.resnet."""
+    params: Dict[Tuple[str, ...], np.ndarray] = {}
+    stats: Dict[Tuple[str, ...], np.ndarray] = {}
+    for k, v in state_dict.items():
+        m = _torch_key_to_flax(k)
+        if m is None:
+            continue
+        path, coll = m
+        arr = _convert_value(path, _to_numpy(v))
+        (params if coll == "params" else stats)[prefix + path] = arr
+    return {
+        "params": traverse_util.unflatten_dict(params),
+        "batch_stats": traverse_util.unflatten_dict(stats),
+    }
+
+
+def port_tsm_checkpoint(state_dict: Mapping[str, Any],
+                        num_class: int,
+                        target_params: Optional[Any] = None) -> Dict[str, Any]:
+    """Port a torch TSM checkpoint into the flax TSM layout.
+
+    Applies the reference's full surgery chain (tsm.py:451-473): strip
+    'module.' → remap fc if shape matches num_class → drop '.net' shift
+    wrappers → 'base_model.*' → 'backbone.*'. fc weights whose output dim
+    mismatches ``num_class`` are dropped (strict=False analog) and the
+    caller keeps its initialized head.
+    """
+    sd = strip_shift_wrappers(strip_ddp_prefix(dict(state_dict)))
+    remapped: Dict[str, Any] = {}
+    for k, v in sd.items():
+        if k.startswith("base_model."):
+            remapped["backbone." + k[len("base_model."):]] = v
+        elif k.startswith("new_fc."):
+            remapped["fc." + k[len("new_fc."):]] = v
+        else:
+            remapped[k] = v
+    # fc shape check
+    fc_w = remapped.get("fc.weight")
+    if fc_w is not None and _to_numpy(fc_w).shape[0] != num_class:
+        remapped = {k: v for k, v in remapped.items() if not k.startswith("fc.")}
+    tree = torch_resnet_to_flax(remapped)
+    if target_params is not None:
+        tree["params"] = merge_into(target_params, tree["params"])
+    return tree
+
+
+def merge_into(target: Any, source: Any) -> Any:
+    """Overlay ``source`` leaves onto ``target`` where paths+shapes match
+    (the strict=False load of reference tsm.py:473)."""
+    tgt = dict(traverse_util.flatten_dict(target))
+    src = traverse_util.flatten_dict(source)
+    for k, v in src.items():
+        if k in tgt and tuple(np.shape(tgt[k])) == tuple(np.shape(v)):
+            tgt[k] = np.asarray(v, dtype=np.asarray(tgt[k]).dtype)
+    return traverse_util.unflatten_dict(tgt)
+
+
+def flax_to_torch_dict(variables: Mapping[str, Any],
+                       backbone_key: str = "backbone") -> Dict[str, np.ndarray]:
+    """Inverse export: flax TSM variables → torchvision-style state dict
+    (numpy values). Round-trip oracle for the port tool and the escape
+    hatch for users moving back to torch tooling."""
+    out: Dict[str, np.ndarray] = {}
+
+    def emit(path: Tuple[str, ...], v: np.ndarray, collection: str) -> None:
+        parts = list(path)
+        if parts and parts[0] == backbone_key:
+            parts = ["base_model"] + parts[1:]
+        parts = [re.sub(r"^layer(\d+)_(\d+)$", r"layer\1.\2", p) for p in parts]
+        parts = [p.replace("downsample_conv", "downsample.0").replace(
+            "downsample_bn", "downsample.1") for p in parts]
+        leaf = parts[-1]
+        v = np.asarray(v)
+        if leaf == "kernel":
+            if v.ndim == 4:
+                v = np.transpose(v, (3, 2, 0, 1))
+            elif v.ndim == 2:
+                v = np.transpose(v, (1, 0))
+            leaf = "weight"
+        elif leaf == "scale":
+            leaf = "weight"
+        elif leaf == "mean":
+            leaf = "running_mean"
+        elif leaf == "var":
+            leaf = "running_var"
+        out[".".join(parts[:-1] + [leaf])] = v
+
+    for coll in ("params", "batch_stats"):
+        flat = traverse_util.flatten_dict(variables.get(coll, {}))
+        for path, v in flat.items():
+            emit(path, v, coll)
+    return out
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a .pth/.ckpt file → raw state dict (handles the 'state_dict'
+    nesting both torch-lightning and mmcv use)."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        return ckpt["state_dict"]
+    return ckpt
