@@ -1,0 +1,160 @@
+"""Inference-stack tests: engine batching, video counting end-to-end on
+synthetic videos, score-JSON schema + eval roundtrip (the reference's
+north-star path, SURVEY §7 step 4)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from workoutdetector_tpu.counting import eval_score_dir
+from workoutdetector_tpu.infer import (InferenceEngine, count_by_image_model,
+                                       count_by_video_model, eval_dataset,
+                                       inference_dataset)
+
+SIZE = 32
+
+
+class BrightnessModel(nn.Module):
+    """Deterministic stand-in classifier: class = mean brightness > 0.
+    Input is ImageNet-normalized, so mid-gray ≈ 0."""
+    num_class: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # collapse all but batch dim
+        axes = tuple(range(1, x.ndim))
+        m = jnp.mean(x, axis=axes)
+        logit = m * 10.0
+        return jnp.stack([-logit, logit], axis=-1)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    model = BrightnessModel()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8, SIZE, SIZE, 3)))
+    return InferenceEngine(model, variables, num_segments=8, window_batch=4,
+                           image_size=SIZE)
+
+
+def _write_video(path, pattern, frames_per_state=24, wh=(96, 96)):
+    import cv2
+    w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 30, wh)
+    for val in pattern:
+        for _ in range(frames_per_state):
+            w.write(np.full((wh[1], wh[0], 3), val, np.uint8))
+    w.release()
+    return str(path)
+
+
+def test_score_windows_batching(engine):
+    x = np.zeros((7, 8, SIZE, SIZE, 3), np.uint8)
+    x[3:] = 255  # bright windows
+    out = engine.score_windows(x)
+    assert out.shape == (7, 2)
+    assert (np.argmax(out[:3], 1) == 0).all()
+    assert (np.argmax(out[3:], 1) == 1).all()
+
+
+def test_score_video_window_semantics(engine):
+    video = np.zeros((40, SIZE, SIZE, 3), np.uint8)
+    starts, logits = engine.score_video(video, step=8)
+    assert list(starts) == [0, 8, 16, 24, 32]
+    assert logits.shape == (5, 2)
+
+
+def test_count_by_video_model_e2e(engine, tmp_path):
+    # 3 reps: dark(0)→bright(1) cycles of 24 frames each
+    path = _write_video(tmp_path / "reps.mp4", [20, 235] * 3)
+    count, reps = count_by_video_model(engine, path)
+    assert count == 3
+    assert reps == [0, 24, 48, 72, 96, 120]
+
+
+def test_count_by_video_model_short(engine, tmp_path):
+    path = _write_video(tmp_path / "short.mp4", [20], frames_per_state=5)
+    count, reps = count_by_video_model(engine, path)
+    assert count == 0 and reps == []
+
+
+def test_count_by_image_model_e2e(engine, tmp_path):
+    img_model = BrightnessModel()
+    variables = img_model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, SIZE, SIZE, 3)))
+    img_engine = InferenceEngine(img_model, variables, window_batch=8,
+                                 image_size=SIZE, input_rank=4)
+    path = _write_video(tmp_path / "reps_img.mp4", [20, 235] * 2,
+                        frames_per_state=21)  # multiple of 7
+    count, reps = count_by_image_model(img_engine, path)
+    assert count == 2
+
+
+def test_inference_dataset_and_eval_roundtrip(engine, tmp_path):
+    """Score JSON schema matches the reference (inference_count.py:351-366)
+    and feeds counting.eval_score_dir to closed-loop MAE/OBO."""
+    import pandas as pd
+    data_root = tmp_path / "RepCount"
+    (data_root / "videos" / "val").mkdir(parents=True)
+    # one video with 2 reps
+    _write_video(data_root / "videos" / "val" / "v1.mp4", [20, 235] * 2)
+    anno = pd.DataFrame({
+        "name": ["v1.mp4"],
+        "class_": ["squat"],
+        "split": ["val"],
+        "count": [2],
+        "reps": ["0 48 48 96"],
+        "vid": ["x"], "start": [0], "end": [192],
+    })
+    anno.to_csv(data_root / "annotation.csv")
+
+    out_dir = tmp_path / "scores"
+    inference_dataset(engine, ["val"], str(out_dir), checkpoint="test.ckpt",
+                      data_root=str(data_root),
+                      anno_path=str(data_root / "annotation.csv"))
+    jpath = out_dir / "v1.mp4.score.json"
+    assert jpath.exists()
+    data = json.load(open(jpath))
+    for key in ("video_name", "model", "input_shape", "checkpoint",
+                "total_frames", "ground_truth", "action", "scores"):
+        assert key in data, key
+    assert data["video_name"] == "v1.mp4"
+    assert data["action"] == "squat"
+    assert data["total_frames"] == 96
+    # scores keyed by window start every 8 frames
+    assert set(map(int, data["scores"].keys())) == set(range(0, 96, 8))
+
+    mae, obo, rows = eval_score_dir(str(out_dir), str(data_root / "annotation.csv"),
+                                    softmax=True)
+    # BrightnessModel is an oracle → sparse windows straddling transitions
+    # may differ by ±1 rep; exact count expected here (24-frame states)
+    assert rows[0]["pred_count"] in (1, 2, 3)
+
+
+def test_eval_dataset(engine, tmp_path):
+    import pandas as pd
+    data_root = tmp_path / "RepCount"
+    (data_root / "videos" / "val").mkdir(parents=True)
+    _write_video(data_root / "videos" / "val" / "a.mp4", [20, 235] * 3)
+    _write_video(data_root / "videos" / "val" / "b.mp4", [20, 235] * 1)
+    anno = pd.DataFrame({
+        "name": ["a.mp4", "b.mp4"],
+        "class_": ["squat", "squat"],
+        "split": ["val", "val"],
+        "count": [3, 1],
+        "reps": ["0 48 48 96 96 144", "0 48"],
+        "vid": ["x", "y"], "start": [0, 0], "end": [0, 0],
+    })
+    anno.to_csv(data_root / "annotation.csv")
+    mae, obo = eval_dataset(engine, action=["squat"], split="val",
+                            data_root=str(data_root), model_type="video",
+                            output_dir=str(tmp_path / "out"))
+    # oracle classifier → exact counts → mae 0, obo 1
+    assert mae == pytest.approx(0.0)
+    assert obo == pytest.approx(1.0)
+    csvs = os.listdir(tmp_path / "out")
+    assert any(c.endswith(".csv") for c in csvs)
