@@ -1,0 +1,162 @@
+"""Serving tests: live WS streaming + POST /video against a running
+server, exercising the reference app contract (app/server.py:85-119)."""
+
+import asyncio
+import base64
+import io
+import json
+import socket
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from workoutdetector_tpu.infer.engine import InferenceEngine
+from workoutdetector_tpu.serve.batcher import AsyncBatcher
+from workoutdetector_tpu.serve.server import (WorkoutServer, decode_data_url,
+                                              scores_to_payload)
+
+SIZE = 32
+
+
+class ConstModel(nn.Module):
+    """Stand-in 11-class scorer: class i score = mean + i*0.01."""
+    num_class: int = 11
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        axes = tuple(range(1, x.ndim))
+        m = jnp.mean(x, axis=axes, keepdims=False)
+        base = jnp.arange(self.num_class, dtype=jnp.float32) * 0.01
+        return m[:, None] + base[None, :]
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def server():
+    model = ConstModel()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, SIZE, SIZE, 3)))
+    engine = InferenceEngine(model, variables, num_segments=8, window_batch=4,
+                             image_size=SIZE)
+    port = _free_port()
+    srv = WorkoutServer(engine, host="127.0.0.1", http_port=port,
+                        ws_port=_free_port())
+    srv.start_http()
+    yield srv
+    srv.shutdown()
+
+
+def _frame_data_url(value: int) -> str:
+    from PIL import Image
+    img = Image.fromarray(np.full((60, 80, 3), value, np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="WEBP")
+    return "data:image/webp;base64," + base64.b64encode(buf.getvalue()).decode()
+
+
+def test_decode_data_url_roundtrip():
+    url = _frame_data_url(128)
+    arr = decode_data_url(url)
+    assert arr.shape == (60, 80, 3)
+    assert abs(int(arr.mean()) - 128) <= 2  # webp is lossy
+    assert decode_data_url("stop") is None
+
+
+def test_scores_to_payload_sorted():
+    labels = ["a", "b", "c"]
+    payload = scores_to_payload(np.asarray([0.1, 0.9, 0.5]), labels)
+    assert list(payload) == ["b", "c", "a"]
+
+
+def test_ws_streaming_contract(server):
+    """Stream 8 webp frames → one {'success': True, 'data': {...}} reply
+    (the App.tsx protocol)."""
+
+    async def drive():
+        import websockets
+        ws_task = asyncio.create_task(server.serve_ws())
+        await asyncio.sleep(0.2)
+        try:
+            uri = f"ws://127.0.0.1:{server.ws_port}/ws/test1"
+            async with websockets.connect(uri) as ws:
+                for _ in range(8):
+                    await ws.send(_frame_data_url(200))
+                reply = json.loads(await asyncio.wait_for(ws.recv(), timeout=30))
+                assert reply["success"] is True
+                assert len(reply["data"]) == 11
+                scores = list(reply["data"].values())
+                assert scores == sorted(scores, reverse=True)
+                await ws.send("stop")
+        finally:
+            ws_task.cancel()
+            try:
+                await ws_task
+            except asyncio.CancelledError:
+                pass
+
+    asyncio.run(drive())
+
+
+def test_post_video_contract(server, tmp_path):
+    import cv2
+    path = tmp_path / "up.mp4"
+    w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 64))
+    for i in range(20):
+        w.write(np.full((64, 64, 3), 150, np.uint8))
+    w.release()
+    data = open(path, "rb").read()
+    req = urllib.request.Request(f"http://127.0.0.1:{server.http_port}/video",
+                                 data=data, method="POST")
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        body = json.loads(resp.read())
+    assert body["success"] is True
+    assert len(body["data"]) == 11
+
+
+def test_post_empty_video(server):
+    req = urllib.request.Request(f"http://127.0.0.1:{server.http_port}/video",
+                                 data=b"", method="POST")
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        body = json.loads(resp.read())
+    assert body.get("msg") == "No video"
+
+
+def test_static_index(server):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.http_port}/", timeout=10) as resp:
+        html = resp.read().decode()
+    assert "Workout Detector" in html
+
+
+def test_async_batcher_coalesces():
+    calls = []
+
+    def score_fn(arr):
+        calls.append(arr.shape[0])
+        return np.tile(np.arange(3, dtype=np.float32), (arr.shape[0], 1))
+
+    async def drive():
+        b = AsyncBatcher(score_fn, max_batch=8, max_delay_ms=50)
+        outs = await asyncio.gather(*[
+            b.score(np.zeros((2, 4, 4, 3), np.uint8)) for _ in range(6)
+        ])
+        await b.stop()
+        return outs
+
+    outs = asyncio.run(drive())
+    assert len(outs) == 6
+    assert all(o.shape == (3,) for o in outs)
+    # 6 concurrent requests should flush in far fewer than 6 device calls
+    assert sum(calls) == 6
+    assert len(calls) <= 3

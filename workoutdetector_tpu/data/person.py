@@ -1,0 +1,96 @@
+"""Person detection + PersonCrop — host-side, dependency-light.
+
+The reference uses torchvision fasterrcnn_resnet50_fpn
+(workoutdetector/datasets/transform.py:128-223 Detector, :226-262
+PersonCrop). That backend is unavailable here (no torchvision, zero
+egress, and this image's cv2 is a minimal build without HOG/Cascade), so
+the default backend is **motion saliency**: the person doing the workout
+is the moving subject, so the union bounding box of temporal-difference
+activity localizes them. The Detector keeps a ``backend`` hook so a real
+detection model (e.g. a ported torch checkpoint via models/convert.py)
+slots in without touching callers.
+
+PersonCrop semantics match the reference: one consistent crop for the
+whole clip from the union of per-frame boxes, enlarged 10%; no detection ⇒
+clip returned unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Union
+
+import numpy as np
+
+
+def _motion_boxes(clip: np.ndarray, quantile: float = 0.90,
+                  min_area_frac: float = 0.001) -> List[np.ndarray]:
+    """Per-frame motion bounding boxes from temporal differences.
+
+    Returns a list of (N_t, 4) float arrays (N_t ∈ {0, 1}) in
+    (x1, y1, x2, y2). The first frame reuses the first diff.
+    """
+    if clip.shape[0] < 2:
+        return [np.zeros((0, 4), np.float32) for _ in range(clip.shape[0])]
+    gray = clip.astype(np.int16).mean(axis=-1)  # (T, H, W)
+    diffs = np.abs(np.diff(gray, axis=0))  # (T-1, H, W)
+    h, w = gray.shape[1:]
+    boxes: List[np.ndarray] = []
+    for d in diffs:
+        thresh = max(np.quantile(d, quantile), 8.0)
+        mask = d >= thresh
+        if mask.sum() < min_area_frac * h * w:
+            boxes.append(np.zeros((0, 4), np.float32))
+            continue
+        ys, xs = np.nonzero(mask)
+        boxes.append(
+            np.asarray([[xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]],
+                       np.float32))
+    return [boxes[0]] + boxes  # frame 0 reuses diff 0
+
+
+class Detector:
+    """Per-frame person bounding boxes.
+
+    Args:
+        backend: 'motion' (default) or a callable
+            (clip_u8 (T,H,W,3)) → list of (N_t, 4) box arrays.
+    """
+
+    def __init__(self, backend: Union[str, Callable] = "motion"):
+        self._fn = _motion_boxes if backend == "motion" else backend
+
+    def detect(self, frames: np.ndarray, threshold: float = 0.0
+               ) -> List[np.ndarray]:
+        """frames (T, H, W, 3) uint8 → list of (N_t, 4) box arrays."""
+        return self._fn(frames)
+
+
+class PersonCrop:
+    """Clip-consistent person crop (reference transform.py:226-262):
+    union of the best box per frame, enlarged 10%; identity when nothing
+    is detected."""
+
+    def __init__(self, detector: Optional[Detector] = None):
+        self.detector = detector or Detector()
+
+    def __call__(self, clip: np.ndarray) -> np.ndarray:
+        boxes = self.detector.detect(clip)
+        firsts = [b[0] for b in boxes if len(b) > 0]
+        if not firsts:
+            return clip
+        arr = np.stack(firsts)
+        x1, y1 = float(arr[:, 0].min()), float(arr[:, 1].min())
+        x2, y2 = float(arr[:, 2].max()), float(arr[:, 3].max())
+        w, h = x2 - x1, y2 - y1
+        if w * h <= 0:
+            return clip
+        x1 = int(max(0, x1 - w * 0.05))
+        y1 = int(max(0, y1 - h * 0.05))
+        x2 = int(min(clip.shape[2], x2 + w * 0.05))
+        y2 = int(min(clip.shape[1], y2 + h * 0.05))
+        if x2 <= x1 or y2 <= y1:
+            return clip
+        return clip[:, y1:y2, x1:x2]
+
+    def __repr__(self) -> str:
+        return self.__class__.__name__ + "()"

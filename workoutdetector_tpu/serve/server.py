@@ -1,0 +1,274 @@
+"""Serving: WebSocket webcam streaming + video upload, app-contract
+compatible.
+
+Rebuild of the reference FastAPI server (app/server.py:37-119 +
+app/inference.py:87-170) without fastapi/uvicorn (not in this image):
+
+  * WS ``/ws/{client_id}`` (``websockets`` package): client sends
+    ``data:image/webp;base64,<...>`` text frames (the React app's
+    protocol, app/my-app/src/App.tsx:106) or ``stop``; every 8 frames the
+    server scores one window and replies
+    ``{"success": true, "data": {label: score, ...}}`` sorted by score —
+    byte-compatible with app/inference.py:109-111.
+  * HTTP ``POST /video``: raw video bytes → temp file → 8-frame uniform
+    sample → one scored window → same JSON shape (app/server.py:108-116).
+  * HTTP ``GET /`` serves the static frontend (serve/static/).
+
+TPU specifics: all connections share one AsyncBatcher so concurrent
+streams coalesce into full device batches.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import io
+import json
+import os
+import tempfile
+import threading
+from base64 import b64decode
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from workoutdetector_tpu.data.sampling import sample_frames
+from workoutdetector_tpu.data.transforms import center_crop, resize_short_side
+from workoutdetector_tpu.data.video import VideoReader
+from workoutdetector_tpu.infer.engine import InferenceEngine
+from workoutdetector_tpu.serve.batcher import AsyncBatcher
+from workoutdetector_tpu.settings import WORKOUT_LABELS
+
+SAMPLE_LENGTH = 8
+STATIC_DIR = os.path.join(os.path.dirname(__file__), "static")
+
+
+def decode_data_url(text: str) -> Optional[np.ndarray]:
+    """'data:image/webp;base64,<b64>' → RGB uint8 array (None if not an
+    image frame). Mirrors app/server.py:69-78."""
+    if not text.startswith("data:image/"):
+        return None
+    b64 = text.split(",", 1)[1]
+    from PIL import Image
+    img = Image.open(io.BytesIO(b64decode(b64)))
+    return np.asarray(img.convert("RGB"))
+
+
+def prep_frames(frames: List[np.ndarray], size: int = 224) -> np.ndarray:
+    """Resize(short=256) + CenterCrop(224) over a frame list — the
+    serving pipeline geometry (app/inference.py:26-31)."""
+    clip = np.stack(frames)
+    clip = resize_short_side(clip, 256)
+    return center_crop(clip, size)
+
+
+def scores_to_payload(scores: np.ndarray, labels: List[str]) -> Dict[str, float]:
+    """{label: score} sorted by descending score (app/inference.py:73-78)."""
+    pairs = sorted(enumerate(scores.tolist()), key=lambda x: x[1], reverse=True)
+    return {labels[i]: float(s) for i, s in pairs if i < len(labels)}
+
+
+class WorkoutServer:
+    """Combined HTTP (static + POST /video) and WebSocket server.
+
+    Args:
+        engine: InferenceEngine over the action-recognition model.
+        labels: class label list (defaults to the 11 Workouts classes).
+        host, http_port: HTTP endpoint; WS listens on http_port + 1.
+    """
+
+    def __init__(self,
+                 engine: InferenceEngine,
+                 labels: Optional[List[str]] = None,
+                 host: str = "0.0.0.0",
+                 http_port: int = 8000,
+                 ws_port: Optional[int] = None,
+                 batch_delay_ms: float = 10.0):
+        self.engine = engine
+        self.labels = labels if labels is not None else list(WORKOUT_LABELS)
+        self.host = host
+        self.http_port = http_port
+        self.ws_port = ws_port if ws_port is not None else http_port + 1
+        self.batcher = AsyncBatcher(engine.score_windows,
+                                    max_batch=engine.window_batch,
+                                    max_delay_ms=batch_delay_ms)
+        self._httpd: Optional[ThreadingHTTPServer] = None
+
+    # ---------------- video upload path ---------------- #
+    def inference_video_file(self, path: str) -> Dict:
+        """Decode + uniform 8-frame sample + one window score
+        (app/inference.py:136-170)."""
+        try:
+            with VideoReader(path) as r:
+                clip = r.read_prepped(256, self.engine.image_size)
+        except (IOError, FileNotFoundError) as e:
+            return {"success": False, "msg": f"Could not open video: {e}"}
+        if len(clip) == 0:
+            return {"success": False, "msg": "Could not open video"}
+        idx = sample_frames(len(clip), SAMPLE_LENGTH, random=False)
+        window = clip[idx]
+        scores = self.engine.score_windows(window[None])[0]
+        return {"success": True, "data": scores_to_payload(scores, self.labels)}
+
+    # ---------------- websocket path ---------------- #
+    async def _ws_handler(self, websocket) -> None:
+        frame_queue: List[np.ndarray] = []
+        try:
+            async for message in websocket:
+                if message == "stop":
+                    break
+                frame = decode_data_url(message) if isinstance(message, str) else None
+                if frame is None:
+                    continue
+                frame_queue.append(frame)
+                if len(frame_queue) == SAMPLE_LENGTH:
+                    window = prep_frames(frame_queue, self.engine.image_size)
+                    frame_queue.clear()
+                    scores = await self.batcher.score(window)
+                    await websocket.send(json.dumps({
+                        "success": True,
+                        "data": scores_to_payload(scores, self.labels),
+                    }))
+        except Exception:
+            pass
+
+    # ---------------- http path ---------------- #
+    def _make_http_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                pass
+
+            def _send_json(self, obj, code=200):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                if self.path.rstrip("/") == "/video":
+                    length = int(self.headers.get("Content-Length", 0))
+                    data = self.rfile.read(length)
+                    ctype = self.headers.get("Content-Type", "")
+                    if "multipart/form-data" in ctype:
+                        data = _extract_multipart_file(data, ctype)
+                    if not data:
+                        self._send_json({"msg": "No video"})
+                        return
+                    path = os.path.join(tempfile.gettempdir(), "wd_upload.mp4")
+                    with open(path, "wb") as f:
+                        f.write(data)
+                    self._send_json(server.inference_video_file(path))
+                elif self.path.rstrip("/") == "/image":
+                    self._send_json({"msg": "Deprecated"})
+                else:
+                    self._send_json({"msg": "Not found"}, 404)
+
+            def do_GET(self):
+                path = self.path.split("?")[0]
+                if path == "/":
+                    path = "/index.html"
+                fs_path = os.path.join(STATIC_DIR, path.lstrip("/"))
+                if os.path.isfile(fs_path):
+                    with open(fs_path, "rb") as f:
+                        body = f.read()
+                    self.send_response(200)
+                    ctype = "text/html" if fs_path.endswith(".html") else \
+                        "application/javascript" if fs_path.endswith(".js") else \
+                        "text/css" if fs_path.endswith(".css") else \
+                        "application/octet-stream"
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self._send_json({"msg": "Not found"}, 404)
+
+        return Handler
+
+    # ---------------- lifecycle ---------------- #
+    def start_http(self) -> threading.Thread:
+        self._httpd = ThreadingHTTPServer((self.host, self.http_port),
+                                          self._make_http_handler())
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    async def serve_ws(self) -> None:
+        import websockets
+        async with websockets.serve(self._ws_handler, self.host, self.ws_port):
+            await asyncio.Future()  # run forever
+
+    def run(self) -> None:
+        self.start_http()
+        print(f"HTTP on http://{self.host}:{self.http_port} "
+              f"(POST /video, static /), WS on ws://{self.host}:{self.ws_port}/ws/<id>")
+        asyncio.run(self.serve_ws())
+
+    def shutdown(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+
+
+def _extract_multipart_file(body: bytes, content_type: str) -> bytes:
+    """Minimal multipart/form-data file extraction (first file part)."""
+    try:
+        boundary = content_type.split("boundary=")[1].strip().encode()
+    except IndexError:
+        return b""
+    for part in body.split(b"--" + boundary):
+        if b"\r\n\r\n" in part and (b"filename=" in part or b"octet-stream" in part):
+            payload = part.split(b"\r\n\r\n", 1)[1]
+            return payload.rstrip(b"\r\n-")
+    return b""
+
+
+def main() -> None:
+    import argparse
+
+    import jax
+
+    from workoutdetector_tpu.config import load_config
+    from workoutdetector_tpu.models.factory import build_model, example_input
+
+    parser = argparse.ArgumentParser(description="WorkoutDetector TPU server")
+    parser.add_argument("--cfg", default=None, help="config yaml")
+    parser.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--num-class", type=int, default=11)
+    parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument("opts", nargs="*", help="dotted config overrides")
+    args = parser.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    cfg = load_config(args.cfg, args.opts)
+    cfg.model.num_class = args.num_class
+    model = build_model(cfg.model)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           example_input(cfg.model), train=False)
+    if args.checkpoint:
+        from workoutdetector_tpu.train.checkpoint import CheckpointManager
+        from workoutdetector_tpu.train.trainer import TrainState
+        import jax.numpy as jnp
+        state = TrainState(step=jnp.zeros((), jnp.int32),
+                           params=variables["params"],
+                           batch_stats=variables.get("batch_stats", {}),
+                           opt_state=None)
+        # restore params/batch_stats only
+        mgr = CheckpointManager(os.path.dirname(args.checkpoint) or ".")
+        state, _ = mgr.restore(args.checkpoint, state)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    engine = InferenceEngine(model, variables,
+                             num_segments=cfg.model.num_segments,
+                             window_batch=16)
+    WorkoutServer(engine, http_port=args.port).run()
+
+
+if __name__ == "__main__":
+    main()
