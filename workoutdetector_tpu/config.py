@@ -226,6 +226,9 @@ class LogConfig(ConfigNode):
     csv_enable: bool = True
     tensorboard_enable: bool = True
     wandb: WandbConfig = field(default_factory=WandbConfig)
+    # capture a jax.profiler device trace for this many steps (0 = off);
+    # the trace lands in <run_dir>/profile
+    profile_steps: int = 0
 
 
 @dataclass

@@ -200,6 +200,47 @@ class DebugDataset:
         return x, label
 
 
+class SuperImageDataset:
+    """'Super image' mosaic: arrange num_image sampled frames into a 3×3
+    (or 2×2) grid resized to image_size — one image classifier sees the
+    whole clip (reference utils/datasets.py:54-93, from "Can an Image
+    Classifier Suffice for Action Recognition?").
+    """
+
+    def __init__(self,
+                 images: List[List[str]],
+                 labels: List[int],
+                 num_image: int = 9,
+                 image_size: int = 224,
+                 transform: Optional[Callable] = None) -> None:
+        if num_image not in (4, 9):
+            raise ValueError(f"num_image={num_image}. Only 4 or 9 supported")
+        self.images = images
+        self.labels = labels
+        self.num_image = num_image
+        self.image_size = image_size
+        self.transform = transform
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None
+                   ) -> Tuple[np.ndarray, int]:
+        if rng is None:
+            rng = np.random.default_rng()
+        paths = self.images[idx][:self.num_image]
+        frames = np.stack([read_image(p) for p in paths])  # (N, H, W, C)
+        if self.transform is not None:
+            frames = self.transform(frames, rng)
+        side = 3 if self.num_image == 9 else 2
+        n, h, w, c = frames.shape
+        grid = frames.reshape(side, side, h, w, c).transpose(0, 2, 1, 3, 4)
+        grid = grid.reshape(side * h, side * w, c)
+        from workoutdetector_tpu.data.transforms import resize_clip
+        grid = resize_clip(grid[None], (self.image_size, self.image_size))[0]
+        return grid, self.labels[idx]
+
+    def __len__(self) -> int:
+        return len(self.labels)
+
+
 def build_dataset(cfg: DataConfig, split: str):
     """Dataset factory dispatching on cfg.dataset_type
     (reference datasets/build.py:10-63)."""

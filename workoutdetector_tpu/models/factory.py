@@ -32,6 +32,8 @@ def build_model(cfg: ModelConfig) -> nn.Module:
                    consensus_type=cfg.consensus_type,
                    dropout=cfg.dropout,
                    partial_bn=cfg.partial_bn,
+                   temporal_pool=cfg.temporal_pool,
+                   non_local=cfg.non_local,
                    dtype=dtype,
                    shift_impl=cfg.shift_impl)
     if mt == "tdn":
@@ -47,8 +49,28 @@ def build_model(cfg: ModelConfig) -> nn.Module:
         # our ResNet zoo; other backbones plug in here)
         if cfg.base_model not in STAGE_SIZES:
             raise KeyError(f"Unknown image backbone '{cfg.base_model}'")
-        return _make(cfg.base_model, num_classes=cfg.num_class, dtype=dtype)
+        return ImageClassifier(base_model=cfg.base_model,
+                               num_class=cfg.num_class,
+                               dtype=dtype)
     raise KeyError(f"Model '{cfg.model_type}' is not supported.")
+
+
+class ImageClassifier(nn.Module):
+    """Image classifier shell (the reference train_img.py LitModel's
+    timm backbone, :28-60). Accepts (B, H, W, C) or the dataset-pipeline
+    shape (B, 1, H, W, C) — single-frame clips squeeze through."""
+    base_model: str = "resnet50"
+    num_class: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if x.ndim == 5:
+            assert x.shape[1] == 1, f"expected single-frame clips, got {x.shape}"
+            x = x[:, 0]
+        net = _make(self.base_model, num_classes=self.num_class,
+                    dtype=self.dtype, name="backbone_img")
+        return net(x, train=train).astype(jnp.float32)
 
 
 def example_input(cfg: ModelConfig, batch: int = 1, image_size: int = 224) -> jnp.ndarray:

@@ -135,6 +135,7 @@ class ResNet(nn.Module):
     dtype: Any = jnp.float32
     partial_bn: bool = False
     block_input_hook: Optional[Callable] = None
+    stage_input_hook: Optional[Callable] = None  # fn(x, stage_idx) → x
     bn_momentum: float = 0.9
     bn_eps: float = 1e-5
 
@@ -155,6 +156,8 @@ class ResNet(nn.Module):
 
         for i, n_blocks in enumerate(self.stage_sizes):
             filters = self.width * 2 ** i
+            if self.stage_input_hook is not None:
+                x = self.stage_input_hook(x, stage_idx=i)
             for j in range(n_blocks):
                 strides = 2 if i > 0 and j == 0 else 1
                 expansion = 4 if self.bottleneck else 1

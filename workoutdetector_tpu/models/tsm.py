@@ -41,17 +41,27 @@ class TSM(nn.Module):
     consensus_type: str = "avg"  # avg | identity
     dropout: float = 0.5
     partial_bn: bool = True
+    temporal_pool: bool = False
+    non_local: bool = False  # accepted for config parity; the reference
+    # stores but never wires this flag either (models/tsm.py:237)
     dtype: Any = jnp.float32
     shift_impl: str = "xla"  # xla | pallas
 
-    def _shift(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _seg_at_stage(self, stage_idx: int) -> int:
+        """Segments alive at a stage: temporal_pool halves T after stage 1
+        (reference make_temporal_shift n_segment_list, tsm.py:109-112)."""
+        if self.temporal_pool and stage_idx >= 1:
+            return self.num_segments // 2
+        return self.num_segments
+
+    def _shift(self, x: jnp.ndarray, n_segment: int) -> jnp.ndarray:
         if self.shift_impl == "pallas":
             bt, h, w, c = x.shape
-            b = bt // self.num_segments
+            b = bt // n_segment
             y = temporal_shift_pallas(
-                x.reshape(b, self.num_segments, h, w, c), self.shift_div)
+                x.reshape(b, n_segment, h, w, c), self.shift_div)
             return y.reshape(bt, h, w, c)
-        return temporal_shift_flat(x, self.num_segments, self.shift_div)
+        return temporal_shift_flat(x, n_segment, self.shift_div)
 
     def _block_hook(self, x: jnp.ndarray, stage_idx: int, block_idx: int) -> jnp.ndarray:
         """Shift injection policy of reference make_temporal_shift
@@ -62,8 +72,25 @@ class TSM(nn.Module):
             return x
         n_round = 2 if STAGE_SIZES[self.base_model][2] >= 23 else 1
         if self.shift_place == "blockres" and block_idx % n_round == 0:
-            return self._shift(x)
+            return self._shift(x, self._seg_at_stage(stage_idx))
         return x
+
+    def _stage_hook(self, x: jnp.ndarray, stage_idx: int) -> jnp.ndarray:
+        """Max-pool time in front of stage 2 when temporal_pool
+        (reference TemporalPool, tsm.py:83-101: max_pool3d kernel (3,1,1)
+        stride (2,1,1) pad (1,0,0))."""
+        if not self.temporal_pool or stage_idx != 1:
+            return x
+        bt, h, w, c = x.shape
+        t = self.num_segments
+        b = bt // t
+        xt = x.reshape(b, t, h * w * c)
+        # max over a window of 3 along T, stride 2, pad 1 → T/2
+        pad = jnp.full((b, 1, h * w * c), -jnp.inf, xt.dtype)
+        xp = jnp.concatenate([pad, xt, pad], axis=1)  # (b, t+2, ·)
+        windows = jnp.stack([xp[:, 0:-2:2], xp[:, 1:-1:2], xp[:, 2::2]], axis=0)
+        pooled = jnp.max(windows, axis=0)  # (b, t//2, ·)
+        return pooled.reshape(b * (t // 2), h, w, c)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -74,7 +101,7 @@ class TSM(nn.Module):
         if self.is_shift and self.shift_place == "block":
             # whole-block variant: shift the stage input once per block
             def hook(y, stage_idx, block_idx):
-                return self._shift(y)
+                return self._shift(y, self._seg_at_stage(stage_idx))
         else:
             hook = self._block_hook
 
@@ -84,13 +111,15 @@ class TSM(nn.Module):
                           dtype=self.dtype,
                           partial_bn=self.partial_bn,
                           block_input_hook=hook,
+                          stage_input_hook=self._stage_hook,
                           name="backbone")
-        feat = backbone(x, train=train)  # (B*T, F)
+        feat = backbone(x, train=train)  # (B*T', F), T' = T or T/2
         feat = nn.Dropout(self.dropout, deterministic=not train)(feat)
         logits = nn.Dense(self.num_class, dtype=self.dtype,
                           kernel_init=nn.initializers.normal(0.001),
                           bias_init=nn.initializers.zeros, name="fc")(feat)
-        logits = logits.reshape(b, t, self.num_class)
+        t_out = t // 2 if self.temporal_pool else t
+        logits = logits.reshape(b, t_out, self.num_class)
         if self.consensus_type == "avg":
             logits = jnp.mean(logits.astype(jnp.float32), axis=1)
         else:  # identity

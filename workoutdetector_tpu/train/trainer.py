@@ -206,12 +206,24 @@ class Trainer:
         max_epochs = 1 if cfg.trainer.fast_dev_run else cfg.trainer.max_epochs
         history: Dict[str, float] = {}
         global_step = int(state.step)
+        from workoutdetector_tpu.utils.profiling import StepTimer
+        timer = StepTimer()
+        profiling = False
         for epoch in range(max_epochs):
             train_loader.set_epoch(epoch)
             for x, y in train_loader:
+                # trace steps [2, 2 + profile_steps): step 1 pays compile
+                if cfg.log.profile_steps > 0 and global_step == 1 and not profiling:
+                    jax.profiler.start_trace(os.path.join(log_dir, "profile"))
+                    profiling = True
                 bx, by = shard_batch((x, y), self.mesh)
                 state, metrics = train_step(state, bx, by)
                 global_step += 1
+                timer.tick()
+                if profiling and global_step >= 1 + cfg.log.profile_steps:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    profiling = False
                 if global_step % cfg.trainer.log_every_n_steps == 0 or \
                         cfg.trainer.fast_dev_run:
                     lr = float(self.schedule(global_step))
@@ -220,6 +232,7 @@ class Trainer:
                             "train/loss": float(metrics["loss"]),
                             "train/acc": float(metrics["acc"]),
                             "lr": lr,
+                            **timer.stats(cfg.data.batch_size),
                         },
                         step=global_step)
                 if cfg.trainer.fast_dev_run:
@@ -245,6 +258,8 @@ class Trainer:
                 break
             if 0 < cfg.trainer.max_steps <= global_step:
                 break
+        if profiling:
+            jax.profiler.stop_trace()
         if ckpt is not None:
             ckpt.save(state, name="last", meta={"best_val_acc": self.best_val_acc})
         history["best_val_acc"] = self.best_val_acc
