@@ -66,6 +66,9 @@ class Trainer:
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.best_val_acc = 0.0
         self._step_fns: Dict[str, Any] = {}
+        self._es_best = float("inf") if cfg.callbacks.early_stopping.mode == \
+            "min" else float("-inf")
+        self._es_count = 0
 
     # ------------------------------------------------------------------ #
     # state
@@ -82,6 +85,10 @@ class Trainer:
                                                  max_epochs=self.cfg.trainer.max_epochs,
                                                  partial_bn=self.cfg.model.partial_bn,
                                                  fc_lr5=self.cfg.model.fc_lr5)
+        if self.cfg.trainer.grad_accum_steps > 1:
+            # accumulate micro-batch grads; params update every k-th step
+            self.tx = optax.MultiSteps(self.tx,
+                                       self.cfg.trainer.grad_accum_steps)
         state = TrainState(step=jnp.zeros((), jnp.int32),
                            params=params,
                            batch_stats=batch_stats,
@@ -254,6 +261,20 @@ class Trainer:
                                         "timestamp": timestamp})
                 loggers.log_metrics({"val/best_acc": self.best_val_acc},
                                     step=global_step)
+                # EarlyStopping on a monitored metric (reference
+                # trainer.py:246-251: monitor train/loss, mode min)
+                es = cfg.callbacks.early_stopping
+                if es.enable:
+                    metric = val["loss"] if "loss" in es.monitor else val["acc"]
+                    better = (metric < self._es_best) if es.mode == "min" else \
+                        (metric > self._es_best)
+                    if better:
+                        self._es_best = metric
+                        self._es_count = 0
+                    else:
+                        self._es_count += 1
+                        if self._es_count >= es.patience:
+                            break
             if cfg.trainer.fast_dev_run:
                 break
             if 0 < cfg.trainer.max_steps <= global_step:

@@ -114,6 +114,53 @@ def plot_all(json_dir: str, out_dir: str, threshold: float = 0.5,
                             threshold=threshold, softmax=softmax)
 
 
+def vis_3d_pose(keypoints: np.ndarray,
+                pairs: Optional[Sequence[tuple]] = None,
+                out_path: Optional[str] = None,
+                fps: float = 20.0,
+                figsize: int = 4) -> np.ndarray:
+    """Render 3D skeleton sequences to frames (reference Vis3DPose,
+    visualize.py:283-323; matplotlib 3D instead of moviepy).
+
+    Args:
+        keypoints: (P, T, K, 3) xyz joints.
+    Returns:
+        (T, H, W, 3) uint8 frames (also written as video if out_path).
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    kp = np.asarray(keypoints, np.float32)
+    if kp.ndim == 3:
+        kp = kp[None]
+    pairs = pairs if pairs is not None else COCO_PAIRS
+    p, t = kp.shape[:2]
+    lo, hi = kp.reshape(-1, 3).min(0), kp.reshape(-1, 3).max(0)
+    frames = []
+    for ti in range(t):
+        fig = plt.figure(figsize=(figsize, figsize))
+        ax = fig.add_subplot(111, projection="3d")
+        ax.set_xlim(lo[0], hi[0]); ax.set_ylim(lo[1], hi[1])
+        ax.set_zlim(lo[2], hi[2])
+        for pi in range(p):
+            pts = kp[pi, ti]
+            for a, b in pairs:
+                if a < len(pts) and b < len(pts):
+                    ax.plot(*zip(pts[a], pts[b]), c="g", lw=1.5)
+            ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], c="r", s=8)
+        ax.axis("off")
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+        frames.append(buf.copy())
+        plt.close(fig)
+    out = np.stack(frames)
+    if out_path:
+        from workoutdetector_tpu.data.video import write_video
+        write_video(out_path, out, fps)
+    return out
+
+
 def vis_2d_pose(keypoints: np.ndarray,
                 keypoint_scores: Optional[np.ndarray] = None,
                 frames: Optional[np.ndarray] = None,
