@@ -151,6 +151,8 @@ class TestTransform:
     """Resize(short=256) → CenterCrop(224), deterministic
     (reference build.py:115-136; PersonCrop variant plugs in before)."""
 
+    __test__ = False  # not a pytest class
+
     def __init__(self, size: int = INPUT_SIZE, scale: int = SCALE_SIZE,
                  person_crop=None):
         self.size = size
