@@ -22,6 +22,8 @@ LitModel/DataModule/train/test) re-architected for JAX:
 from __future__ import annotations
 
 import os
+import signal
+import threading
 import time
 from functools import partial
 from typing import Any, Dict, Iterator, Optional, Tuple
@@ -190,6 +192,19 @@ class Trainer:
     def fit(self, ckpt_dir: Optional[str] = None) -> Tuple[TrainState, Dict[str, float]]:
         """Full training loop. Returns (final_state, summary metrics)."""
         cfg = self.cfg
+
+        # Preemption handling (absent in the reference, SURVEY §5): on
+        # SIGTERM/SIGINT — what a TPU-pod eviction sends — finish the
+        # in-flight step, save 'last', and exit cleanly so
+        # resume_from_checkpoint continues the run. Installed before the
+        # first compile so early signals are caught too.
+        preempted = threading.Event()
+        prev_handlers = {}
+        if threading.current_thread() is threading.main_thread():
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                prev_handlers[sig] = signal.signal(
+                    sig, lambda signum, frame: preempted.set())
+
         timestamp = time.strftime("%Y%m%d-%H%M%S")
         log_dir = os.path.join(cfg.trainer.default_root_dir, timestamp)
         os.makedirs(log_dir, exist_ok=True)
@@ -246,6 +261,10 @@ class Trainer:
                     break
                 if 0 < cfg.trainer.max_steps <= global_step:
                     break
+                if preempted.is_set():
+                    break
+            if preempted.is_set():
+                break
 
             if (epoch + 1) % cfg.trainer.check_val_every_n_epoch == 0:
                 val = self.evaluate(state, val_loader)
@@ -281,9 +300,14 @@ class Trainer:
                 break
         if profiling:
             jax.profiler.stop_trace()
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
         if ckpt is not None:
-            ckpt.save(state, name="last", meta={"best_val_acc": self.best_val_acc})
+            ckpt.save(state, name="last",
+                      meta={"best_val_acc": self.best_val_acc,
+                            "preempted": preempted.is_set()})
         history["best_val_acc"] = self.best_val_acc
+        history["preempted"] = float(preempted.is_set())
         loggers.close()
         return state, history
 
