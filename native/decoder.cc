@@ -85,8 +85,13 @@ int next_frame(Decoder* d) {
 int convert(Decoder* d, uint8_t* dst, int dst_w, int dst_h) {
   if (!d->sws || d->sws_w != dst_w || d->sws_h != dst_h) {
     if (d->sws) sws_freeContext(d->sws);
+    // SWS_AREA on downscale for antialiased output (parity with the
+    // PIL-antialias path the reference deploys); bilinear otherwise.
+    const int flags = (dst_w < d->codec->width || dst_h < d->codec->height)
+                          ? SWS_AREA
+                          : SWS_BILINEAR;
     d->sws = sws_getContext(d->codec->width, d->codec->height, d->codec->pix_fmt,
-                            dst_w, dst_h, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
+                            dst_w, dst_h, AV_PIX_FMT_RGB24, flags, nullptr,
                             nullptr, nullptr);
     if (!d->sws) return -1;
     d->sws_w = dst_w;

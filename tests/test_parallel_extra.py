@@ -1,0 +1,124 @@
+"""Extra multi-chip coverage: sharded inference engine, TDN train step on
+the mesh, remat gradient parity, preprocessing tolerance vs PIL."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from workoutdetector_tpu.config import Config
+from workoutdetector_tpu.infer.engine import InferenceEngine
+from workoutdetector_tpu.models import TSM
+from workoutdetector_tpu.parallel.mesh import create_mesh, shard_batch
+from workoutdetector_tpu.train.trainer import Trainer
+
+SMALL = 16
+
+
+class TinyModel(nn.Module):
+    num_class: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        m = jnp.mean(x, axis=tuple(range(1, x.ndim)))
+        return nn.Dense(self.num_class)(m[:, None])
+
+
+def test_engine_sharded_over_mesh():
+    mesh = create_mesh()
+    model = TinyModel()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, SMALL, SMALL, 3)))
+    engine = InferenceEngine(model, variables, num_segments=8, window_batch=16,
+                             image_size=SMALL, mesh=mesh)
+    x = np.random.default_rng(0).integers(0, 256, (10, 8, SMALL, SMALL, 3),
+                                          dtype=np.uint8)
+    out = engine.score_windows(x)
+    assert out.shape == (10, 3)
+    # parity vs unsharded
+    plain = InferenceEngine(model, variables, num_segments=8, window_batch=16,
+                            image_size=SMALL)
+    np.testing.assert_allclose(out, plain.score_windows(x), atol=1e-5)
+
+
+def test_engine_mesh_batch_divisibility():
+    mesh = create_mesh()
+    model = TinyModel()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, SMALL, SMALL, 3)))
+    with pytest.raises(AssertionError):
+        InferenceEngine(model, variables, window_batch=12, image_size=SMALL,
+                        mesh=mesh)  # 12 % 8 != 0
+
+
+def test_tdn_train_step_on_mesh(tmp_path):
+    cfg = Config()
+    cfg.model.model_type = "tdn"
+    cfg.model.num_class = 2
+    cfg.model.num_segments = 2
+    cfg.model.num_frames = 5
+    cfg.model.dropout = 0.0
+    cfg.model.dtype = "float32"
+    cfg.data.image_size = SMALL
+    trainer = Trainer(cfg)
+    state = trainer.init_state(steps_per_epoch=1, image_size=SMALL)
+    step = trainer.train_step_fn()
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, (8, 2, 5, SMALL, SMALL, 3), dtype=np.uint8)
+    y = rng.integers(0, 2, (8,)).astype(np.int32)
+    bx, by = shard_batch((x, y), trainer.mesh)
+    state, metrics = step(state, bx, by)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_remat_matches_no_remat():
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 4, SMALL, SMALL, 3)).astype(np.float32))
+    y = jnp.asarray([1])
+    base = TSM(num_class=2, num_segments=4, base_model="resnet18", dropout=0.0)
+    rem = TSM(num_class=2, num_segments=4, base_model="resnet18", dropout=0.0,
+              remat=True)
+    v = base.init(jax.random.PRNGKey(0), x)
+    # identical params work for both (remat is graph-only)
+    out_b = base.apply(v, x)
+    out_r = rem.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_r), atol=1e-5)
+
+    def loss(model, params):
+        import optax
+        out, _ = model.apply({"params": params, "batch_stats": v["batch_stats"]},
+                             x, train=True, mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(1)})
+        return optax.softmax_cross_entropy_with_integer_labels(out, y).mean()
+
+    g_b = jax.grad(lambda p: loss(base, p))(v["params"])
+    g_r = jax.grad(lambda p: loss(rem, p))(v["params"])
+    gb = np.asarray(g_b["backbone"]["conv1"]["kernel"])
+    gr = np.asarray(g_r["backbone"]["conv1"]["kernel"])
+    np.testing.assert_allclose(gb, gr, rtol=1e-4, atol=1e-6)
+
+
+def test_resize_matches_pil_within_tolerance():
+    """SURVEY §7 hard-part 1: our cv2 bilinear short-side resize vs the
+    PIL/torchvision semantics the reference used. They differ in antialias
+    details; pin the divergence envelope so silent drift is caught."""
+    from PIL import Image
+    from workoutdetector_tpu.data.transforms import center_crop, resize_short_side
+
+    # a natural-image-like smooth field plus texture (pure noise would
+    # magnify aliasing differences beyond anything a video frame shows)
+    yy, xx = np.mgrid[0:120, 0:160]
+    img = (128 + 80 * np.sin(yy / 9.0) * np.cos(xx / 13.0) +
+           np.random.default_rng(0).normal(0, 12, (120, 160))).clip(0, 255)
+    img = np.repeat(img[..., None], 3, axis=2).astype(np.uint8)
+    ours = center_crop(resize_short_side(img[None], 64), 56)[0]
+
+    pil = Image.fromarray(img)
+    h, w = 64, round(160 * 64 / 120)
+    pil = pil.resize((w, h), Image.BILINEAR)
+    arr = np.asarray(pil)
+    y = (h - 56) // 2
+    x = (w - 56) // 2
+    theirs = arr[y:y + 56, x:x + 56]
+    assert ours.shape == theirs.shape
+    diff = np.abs(ours.astype(int) - theirs.astype(int)).mean()
+    assert diff < 3.0, f"resize divergence too large: {diff}"

@@ -182,6 +182,7 @@ class ModelConfig(ConfigNode):
     # TPU specifics
     dtype: str = "bfloat16"  # compute dtype; params stay fp32
     shift_impl: str = "xla"  # xla | pallas
+    remat: bool = False  # jax.checkpoint residual blocks (memory ↔ FLOPs)
 
 
 @dataclass

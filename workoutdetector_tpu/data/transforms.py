@@ -27,13 +27,21 @@ SCALE_SIZE = 256
 
 
 def resize_clip(clip: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
-    """Resize (T, H, W, C) clip to (T, size[0], size[1], C), bilinear."""
+    """Resize (T, H, W, C) clip to (T, size[0], size[1], C).
+
+    Downscales use INTER_AREA (antialiased — tracks the PIL/torchvision
+    antialias behavior the reference's deployed path used,
+    utils/inference_count.py:27-34 ToPILImage→Resize), upscales bilinear.
+    SURVEY §7 hard-part 1: the antialias setting is the parity trap.
+    """
     th, tw = size
     if clip.shape[1] == th and clip.shape[2] == tw:
         return clip
+    downscale = th < clip.shape[1] or tw < clip.shape[2]
+    interp = cv2.INTER_AREA if downscale else cv2.INTER_LINEAR
     out = np.empty((clip.shape[0], th, tw, clip.shape[3]), dtype=clip.dtype)
     for i in range(clip.shape[0]):
-        out[i] = cv2.resize(clip[i], (tw, th), interpolation=cv2.INTER_LINEAR)
+        out[i] = cv2.resize(clip[i], (tw, th), interpolation=interp)
     return out
 
 

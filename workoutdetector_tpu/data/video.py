@@ -183,7 +183,8 @@ class VideoReader:
                 th, tw = scale, max(1, round(w * scale / h))
             else:
                 th, tw = max(1, round(h * scale / w)), scale
-            frame = cv2.resize(frame, (tw, th), interpolation=cv2.INTER_LINEAR)
+            interp = cv2.INTER_AREA if th < h else cv2.INTER_LINEAR
+            frame = cv2.resize(frame, (tw, th), interpolation=interp)
             y = max(0, (th - crop) // 2)
             x = max(0, (tw - crop) // 2)
             frames.append(frame[y:y + crop, x:x + crop])

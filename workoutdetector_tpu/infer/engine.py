@@ -50,24 +50,40 @@ class InferenceEngine:
                  num_segments: int = 8,
                  window_batch: int = 16,
                  image_size: int = 224,
-                 input_rank: int = 5):
+                 input_rank: int = 5,
+                 mesh: Optional[Any] = None):
         self.model = model
         self.variables = variables
         self.num_segments = num_segments
         self.window_batch = window_batch
         self.image_size = image_size
         self.input_rank = input_rank
+        self.mesh = mesh
+        if mesh is not None:
+            n = mesh.shape["data"]
+            assert window_batch % n == 0, \
+                f"window_batch {window_batch} must divide data axis {n}"
         self._fn = self._build()
 
     def _build(self):
         model, variables = self.model, self.variables
 
-        @jax.jit
         def run(x_u8: jnp.ndarray) -> jnp.ndarray:
             x = normalize_clip(x_u8)
             return model.apply(variables, x, train=False)
 
-        return run
+        if self.mesh is None:
+            return jax.jit(run)
+        # multi-chip serving: shard the window batch over the mesh's data
+        # axis — each chip scores window_batch / n windows per step
+        from workoutdetector_tpu.parallel.mesh import batch_sharding
+        sharding = batch_sharding(self.mesh)
+        jitted = jax.jit(run, in_shardings=(sharding,), out_shardings=sharding)
+
+        def sharded_run(x_u8: jnp.ndarray) -> jnp.ndarray:
+            return jitted(jax.device_put(x_u8, sharding))
+
+        return sharded_run
 
     # ---------------- core batched call ---------------- #
     def score_windows(self, windows_u8: np.ndarray) -> np.ndarray:

@@ -35,7 +35,8 @@ def build_model(cfg: ModelConfig) -> nn.Module:
                    temporal_pool=cfg.temporal_pool,
                    non_local=cfg.non_local,
                    dtype=dtype,
-                   shift_impl=cfg.shift_impl)
+                   shift_impl=cfg.shift_impl,
+                   remat=cfg.remat)
     if mt == "tdn":
         return TDN(num_class=cfg.num_class,
                    num_segments=cfg.num_segments,

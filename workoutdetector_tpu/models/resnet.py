@@ -44,9 +44,13 @@ class BasicBlock(nn.Module):
     dtype: Any = jnp.float32
     norm: ModuleDef = nn.BatchNorm
     input_hook: Optional[Callable] = None
+    train_attr: Optional[bool] = None  # train mode baked as an attribute so
+    # nn.remat only traces x (the flag is a Python bool at trace time)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.train_attr is not None:
+            train = self.train_attr
         residual = x
         y = x if self.input_hook is None else self.input_hook(x)
         y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides),
@@ -76,9 +80,12 @@ class Bottleneck(nn.Module):
     norm: ModuleDef = nn.BatchNorm
     input_hook: Optional[Callable] = None
     expansion: int = 4
+    train_attr: Optional[bool] = None  # see BasicBlock.train_attr
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.train_attr is not None:
+            train = self.train_attr
         residual = x
         y = x if self.input_hook is None else self.input_hook(x)
         y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype,
@@ -138,6 +145,9 @@ class ResNet(nn.Module):
     stage_input_hook: Optional[Callable] = None  # fn(x, stage_idx) → x
     bn_momentum: float = 0.9
     bn_eps: float = 1e-5
+    # rematerialize residual blocks on backward: trades ~30% more FLOPs for
+    # O(stages) activation memory — the jax.checkpoint lever for big batches
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, features_only: bool = False):
@@ -147,6 +157,8 @@ class ResNet(nn.Module):
                             epsilon=self.bn_eps, dtype=self.dtype,
                             frozen=self.partial_bn)
         block_cls = Bottleneck if self.bottleneck else BasicBlock
+        if self.remat:
+            block_cls = nn.remat(block_cls)
 
         x = nn.Conv(self.width, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
@@ -172,7 +184,8 @@ class ResNet(nn.Module):
                               dtype=self.dtype,
                               norm=norm_body,
                               input_hook=hook,
-                              name=f"layer{i + 1}_{j}")(x, train=train)
+                              train_attr=train,
+                              name=f"layer{i + 1}_{j}")(x)
 
         x = jnp.mean(x, axis=(1, 2))  # global average pool → (N, C)
         if features_only or self.num_classes == 0:

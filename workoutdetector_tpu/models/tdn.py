@@ -124,9 +124,12 @@ class MSEModule(nn.Module):
         bn3 = norm(name="bn3")
 
         def branch(diff):
-            pooled = nn.avg_pool(diff, (2, 2), strides=(2, 2))
-            y2 = bn_s2(conv_s2(pooled))
-            y2 = jax.image.resize(y2, diff.shape, method="nearest")
+            if diff.shape[1] >= 2 and diff.shape[2] >= 2:
+                pooled = nn.avg_pool(diff, (2, 2), strides=(2, 2))
+                y2 = bn_s2(conv_s2(pooled))
+                y2 = jax.image.resize(y2, diff.shape, method="nearest")
+            else:  # spatial already 1×1 (tiny inputs): skip the downscale
+                y2 = bn_s2(conv_s2(diff))
             y4 = bn_s4(conv_s4(diff))
             y = bn3(conv3(diff / 3.0 + y2 / 3.0 + y4 / 3.0))
             return nn.sigmoid(y) - 0.5

@@ -46,6 +46,7 @@ class TSM(nn.Module):
     # stores but never wires this flag either (models/tsm.py:237)
     dtype: Any = jnp.float32
     shift_impl: str = "xla"  # xla | pallas
+    remat: bool = False  # rematerialize blocks (activation-memory lever)
 
     def _seg_at_stage(self, stage_idx: int) -> int:
         """Segments alive at a stage: temporal_pool halves T after stage 1
@@ -112,6 +113,7 @@ class TSM(nn.Module):
                           partial_bn=self.partial_bn,
                           block_input_hook=hook,
                           stage_input_hook=self._stage_hook,
+                          remat=self.remat,
                           name="backbone")
         feat = backbone(x, train=train)  # (B*T', F), T' = T or T/2
         feat = nn.Dropout(self.dropout, deterministic=not train)(feat)
