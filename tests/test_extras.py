@@ -126,3 +126,22 @@ def test_view_fallback_gallery(tmp_path):
     helper = RepcountHelper(str(root), str(root / "annotation.csv"))
     out = show_one_video(helper, "v1.mp4", out_path=str(tmp_path / "g.png"))
     assert out is not None and os.path.exists(out)
+
+
+def test_image_folder_dataset(tmp_path):
+    import cv2
+    from workoutdetector_tpu.data.image_folder import ImageFolderDataset
+
+    for cls in ("situp", "squat"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(3):
+            cv2.imwrite(str(d / f"{i}.jpg"), np.full((32, 32, 3), 100, np.uint8))
+    ds = ImageFolderDataset(str(tmp_path))
+    assert len(ds) == 6
+    assert ds.classes == ["situp", "squat"]
+    img, label = ds[0]
+    assert img.shape == (1, 32, 32, 3)
+    assert label == 0
+    img2, label2 = ds[5]
+    assert label2 == 1

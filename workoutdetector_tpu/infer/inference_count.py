@@ -131,26 +131,47 @@ def inference_dataset(engine: InferenceEngine,
         anno_path = osp.join(data_root, "annotation.csv")
     helper = RepcountHelper(data_root, anno_path)
     data = helper.get_rep_data(splits, action=["all"])
-    for item in data.values():
-        with VideoReader(item.video_path) as r:
-            video = r.read_prepped(256, engine.image_size)
-        starts, logits = engine.score_video(video, step=step, stride=stride)
-        scores: Dict[int, Dict[int, float]] = {
-            int(s): {int(c): float(v) for c, v in enumerate(l)}
-            for s, l in zip(starts, logits)
-        }
-        res = dict(video_name=item.video_name,
-                   model="video_model",
-                   input_shape=[1, engine.num_segments, 3, engine.image_size,
-                                engine.image_size],
-                   checkpoint=checkpoint,
-                   total_frames=int(len(video)),
-                   ground_truth=item.reps,
-                   action=item.class_,
-                   scores=scores)
-        out_path = os.path.join(out_dir, f"{item.video_name}.score.json")
-        with open(out_path, "w") as f:
-            json.dump(res, f)
+
+    def decode(it):
+        with VideoReader(it.video_path) as r:
+            return r.read_prepped(256, engine.image_size)
+
+    # double-buffered host decode: video k+1 decodes on a worker thread
+    # while the device scores video k (the north-star overlap, SURVEY §7
+    # step 4 / hard-part 4)
+    from concurrent.futures import ThreadPoolExecutor
+    items = list(data.values())
+    if not items:
+        return
+    with ThreadPoolExecutor(1) as pool:
+        next_future = pool.submit(decode, items[0])
+        for k, item in enumerate(items):
+            video = next_future.result()
+            if k + 1 < len(items):
+                next_future = pool.submit(decode, items[k + 1])
+            starts, logits = engine.score_video(video, step=step, stride=stride)
+            _write_score_json(engine, item, video, starts, logits, checkpoint,
+                              out_dir)
+
+
+def _write_score_json(engine, item, video, starts, logits, checkpoint,
+                      out_dir) -> None:
+    scores: Dict[int, Dict[int, float]] = {
+        int(s): {int(c): float(v) for c, v in enumerate(l)}
+        for s, l in zip(starts, logits)
+    }
+    res = dict(video_name=item.video_name,
+               model="video_model",
+               input_shape=[1, engine.num_segments, 3, engine.image_size,
+                            engine.image_size],
+               checkpoint=checkpoint,
+               total_frames=int(len(video)),
+               ground_truth=item.reps,
+               action=item.class_,
+               scores=scores)
+    out_path = os.path.join(out_dir, f"{item.video_name}.score.json")
+    with open(out_path, "w") as f:
+        json.dump(res, f)
 
 
 def eval_dataset(engine: InferenceEngine,

@@ -194,8 +194,8 @@ class ResNet(nn.Module):
         return x
 
 
-def _make(name: str, **kw) -> ResNet:
-    return ResNet(stage_sizes=STAGE_SIZES[name], bottleneck=BOTTLENECK[name], **kw)
+def _make(arch: str, **kw) -> ResNet:
+    return ResNet(stage_sizes=STAGE_SIZES[arch], bottleneck=BOTTLENECK[arch], **kw)
 
 
 def resnet18(**kw) -> ResNet:

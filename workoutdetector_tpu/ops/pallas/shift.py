@@ -47,12 +47,14 @@ def temporal_shift_pallas(x: jnp.ndarray,
     s = h * w
     xs = x.reshape(b, t, s, c)
 
-    # spatial tile: keep blocks ≲ 2 MB of VMEM so double buffering fits
+    # spatial tile: keep blocks ≲ 2 MB of VMEM so double buffering fits.
+    # The tile must respect sublane granularity (8/16/32 rows for
+    # fp32/bf16/int8) — keep it 32-aligned; partial tail blocks are masked.
     bytes_per = jnp.dtype(x.dtype).itemsize
     tile_s = s
     budget = 2 * 1024 * 1024
-    while t * tile_s * c * bytes_per > budget and tile_s % 2 == 0:
-        tile_s //= 2
+    while t * tile_s * c * bytes_per > budget and tile_s > 32:
+        tile_s = -(-tile_s // 2 // 32) * 32  # halve, round up to 32
     grid = (b, pl.cdiv(s, tile_s))
 
     out = pl.pallas_call(
