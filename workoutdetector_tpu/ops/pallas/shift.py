@@ -5,9 +5,12 @@ Fused single-pass variant of ops.temporal_shift: each grid step pulls one
 lane copies, and writes the result once — no intermediate concat buffers in
 HBM. Same semantics as reference tsm.py:34-50.
 
-The XLA path is usually enough (the concat fuses into the next conv); this
-kernel exists for the cases where the fusion breaks (large C, checkpointed
-backbones) and as the template for further fusions.
+Measured on TPU v5e (2026-08-16): standalone the kernel is ~2× faster than
+the unfused XLA shift (0.97 ms vs 1.91 ms on (8,8,56,56,64) fp32) and
+bit-exact; *inside* TSM-R50 the XLA path wins end-to-end (836 vs 751
+clips/s) because the pallas_call boundary blocks the shift→conv fusion.
+Hence shift_impl='xla' is the default; this kernel is for graphs where
+that fusion breaks (and as the template for further fusions).
 """
 
 from __future__ import annotations
