@@ -1,0 +1,63 @@
+"""Training-throughput measurement (companion to bench.py's inference
+number): TSM-R50 train step clips/sec on the current devices, including
+uint8 host→device transfer each step.
+
+    python tools/train_bench.py [--batch 32] [--steps 10]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--remat", action="store_true")
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from workoutdetector_tpu.config import Config
+    from workoutdetector_tpu.parallel.mesh import shard_batch
+    from workoutdetector_tpu.train.trainer import Trainer
+
+    cfg = Config()
+    cfg.model.model_type = "tsm"
+    cfg.model.base_model = "resnet50"
+    cfg.model.num_class = 12
+    cfg.model.num_segments = 8
+    cfg.model.dtype = "bfloat16"
+    cfg.model.remat = args.remat
+    cfg.data.image_size = 224
+
+    trainer = Trainer(cfg)
+    state = trainer.init_state(steps_per_epoch=100, image_size=224)
+    step = trainer.train_step_fn()
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, (args.batch, 8, 224, 224, 3), dtype=np.uint8)
+    y = rng.integers(0, 12, (args.batch,)).astype(np.int32)
+
+    bx, by = shard_batch((x, y), trainer.mesh)
+    state, m = step(state, bx, by)  # compile
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        bx, by = shard_batch((x, y), trainer.mesh)  # include H2D
+        state, m = step(state, bx, by)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    print(f"train: {args.batch * args.steps / dt:.1f} clips/s "
+          f"({dt / args.steps * 1e3:.1f} ms/step, remat={args.remat})")
+
+
+if __name__ == "__main__":
+    main()
