@@ -19,11 +19,18 @@ def main() -> None:
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--remat", action="store_true")
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--resident", action="store_true",
+                        help="reuse a device-resident batch (excludes H2D; "
+                        "isolates compute from interconnect transfer)")
     args = parser.parse_args()
 
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import numpy as np
 
     from workoutdetector_tpu.config import Config
@@ -51,12 +58,14 @@ def main() -> None:
     jax.block_until_ready(m["loss"])
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        bx, by = shard_batch((x, y), trainer.mesh)  # include H2D
+        if not args.resident:
+            bx, by = shard_batch((x, y), trainer.mesh)  # include H2D
         state, m = step(state, bx, by)
     jax.block_until_ready(m["loss"])
     dt = time.perf_counter() - t0
     print(f"train: {args.batch * args.steps / dt:.1f} clips/s "
-          f"({dt / args.steps * 1e3:.1f} ms/step, remat={args.remat})")
+          f"({dt / args.steps * 1e3:.1f} ms/step, remat={args.remat}, "
+          f"resident={args.resident})")
 
 
 if __name__ == "__main__":

@@ -190,24 +190,19 @@ def eval_dataset(engine: InferenceEngine,
     """
     if anno_path is None:
         anno_path = os.path.join(data_root, "annotation.csv")
+    if model_type not in ("video", "image"):
+        raise ValueError(f"Invalid model type: {model_type}")
     helper = RepcountHelper(data_root, anno_path)
     items = helper.get_rep_data(split=[split], action=action)
     pred_dict: Dict[str, int] = {}
+    count_fn = count_by_video_model if model_type == "video" else \
+        count_by_image_model
     for name, item in items.items():
         out_path = None
         if save_video and output_dir is not None:
             out_path = os.path.join(output_dir, name)
-        if model_type == "video":
-            count, _ = count_by_video_model(engine, item.video_path,
-                                            ground_truth=item.reps,
-                                            video_out_path=out_path)
-        elif model_type == "image":
-            count, _ = count_by_image_model(engine, item.video_path,
-                                            ground_truth=item.reps,
-                                            video_out_path=out_path,
-                                            threshold=threshold)
-        else:
-            raise ValueError(f"Invalid model type: {model_type}")
+        count, _ = count_fn(engine, item.video_path, ground_truth=item.reps,
+                            video_out_path=out_path)
         pred_dict[name] = count
     mae, obo_acc, eval_res = helper.eval_count(pred_dict, action=action,
                                                split=[split])
