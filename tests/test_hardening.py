@@ -88,3 +88,19 @@ def test_vis_3d_pose(tmp_path):
     assert out.shape[0] == 3
     assert out.shape[-1] == 3
     assert (tmp_path / "p3d.mp4").exists()
+
+
+def test_restore_variables_target_free(tmp_path):
+    """Serving restores params/batch_stats from a full TrainState checkpoint
+    without knowing the optimizer-state structure."""
+    cfg = _cfg(tmp_path)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(steps_per_epoch=1, image_size=16)
+    from workoutdetector_tpu.train.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(state, name="best")
+    restored = mgr.restore_variables("best")
+    assert "params" in restored and "batch_stats" in restored
+    got = np.asarray(restored["params"]["backbone"]["conv1"]["kernel"])
+    want = np.asarray(state.params["backbone"]["conv1"]["kernel"])
+    np.testing.assert_array_equal(got, want)

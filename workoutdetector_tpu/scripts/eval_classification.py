@@ -64,7 +64,10 @@ def main(argv=None) -> None:
         import os
         from workoutdetector_tpu.train.checkpoint import CheckpointManager
         mgr = CheckpointManager(os.path.dirname(args.checkpoint) or ".")
-        variables, _ = mgr.restore(args.checkpoint, variables)
+        restored = mgr.restore_variables(args.checkpoint)
+        variables = {"params": restored["params"],
+                     "batch_stats": restored.get(
+                         "batch_stats", variables.get("batch_stats", {}))}
     engine = InferenceEngine(model, variables,
                              num_segments=cfg.model.num_segments,
                              window_batch=cfg.data.batch_size)

@@ -253,16 +253,11 @@ def main() -> None:
                            example_input(cfg.model), train=False)
     if args.checkpoint:
         from workoutdetector_tpu.train.checkpoint import CheckpointManager
-        from workoutdetector_tpu.train.trainer import TrainState
-        import jax.numpy as jnp
-        state = TrainState(step=jnp.zeros((), jnp.int32),
-                           params=variables["params"],
-                           batch_stats=variables.get("batch_stats", {}),
-                           opt_state=None)
-        # restore params/batch_stats only
         mgr = CheckpointManager(os.path.dirname(args.checkpoint) or ".")
-        state, _ = mgr.restore(args.checkpoint, state)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        restored = mgr.restore_variables(args.checkpoint)
+        variables = {"params": restored["params"],
+                     "batch_stats": restored.get(
+                         "batch_stats", variables.get("batch_stats", {}))}
 
     engine = InferenceEngine(model, variables,
                              num_segments=cfg.model.num_segments,

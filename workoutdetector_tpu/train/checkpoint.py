@@ -51,5 +51,20 @@ class CheckpointManager:
                 meta = json.load(f)
         return restored, meta
 
+    def restore_variables(self, path_or_name: str) -> Dict[str, Any]:
+        """Target-free restore of just the model variables.
+
+        Reads the raw checkpoint tree (no structure needed) and returns
+        {'params', 'batch_stats'} — what serving/eval need without knowing
+        the optimizer-state layout the trainer saved.
+        """
+        path = path_or_name if os.path.isabs(path_or_name) or os.path.sep in \
+            path_or_name else self._path(path_or_name)
+        raw = self._ckptr.restore(os.path.abspath(path))
+        out = {"params": raw.get("params", raw)}
+        if "batch_stats" in raw:
+            out["batch_stats"] = raw["batch_stats"]
+        return out
+
     def exists(self, name: str) -> bool:
         return os.path.exists(self._path(name))
