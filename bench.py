@@ -41,12 +41,8 @@ def main() -> None:
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    # persistent compilation cache: repeated bench runs skip the multi-minute
-    # XLA compile (especially costly over the tunneled-TPU link)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                     "/tmp/jax_comp_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # note: the persistent compilation cache is a no-op for the tunneled
+    # 'axon' backend in this image (nothing is written), so it's not enabled
     import jax.numpy as jnp
     import numpy as np
 
