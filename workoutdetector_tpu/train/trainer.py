@@ -221,7 +221,19 @@ class Trainer:
         from workoutdetector_tpu.train.checkpoint import CheckpointManager
         ckpt = CheckpointManager(ckpt_dir) if cfg.trainer.enable_checkpointing else None
         if cfg.trainer.resume_from_checkpoint and ckpt is not None:
-            state, meta = ckpt.restore(cfg.trainer.resume_from_checkpoint, state)
+            try:
+                state, meta = ckpt.restore(cfg.trainer.resume_from_checkpoint, state)
+            except Exception:
+                # optimizer config changed since the checkpoint (e.g.
+                # grad_accum toggled) → opt_state structure mismatch.
+                # Restore weights only and continue with a fresh optimizer.
+                restored = ckpt.restore_variables(cfg.trainer.resume_from_checkpoint)
+                state = state.replace(params=restored["params"],
+                                      batch_stats=restored.get(
+                                          "batch_stats", state.batch_stats))
+                meta = {}
+                print("[resume] optimizer state structure changed; restored "
+                      "weights only, optimizer starts fresh")
             self.best_val_acc = meta.get("best_val_acc", 0.0)
 
         train_step = self.train_step_fn()
