@@ -145,3 +145,32 @@ def test_image_folder_dataset(tmp_path):
     assert label == 0
     img2, label2 = ds[5]
     assert label2 == 1
+
+
+def test_kinetics_rawframe_list(tmp_path):
+    import pandas as pd
+    from workoutdetector_tpu.data.kinetics import split_to_rawframe_list
+
+    labels_csv = tmp_path / "labels.csv"
+    pd.DataFrame({"id": [0, 1], "name": ["abseiling", "archery"]}).to_csv(
+        labels_csv, index=False)
+    split_csv = tmp_path / "validate.csv"
+    pd.DataFrame({
+        "label": ["abseiling", "archery", "archery"],
+        "youtube_id": ["vidA", "vidB", "missing"],
+        "time_start": [10, 0, 5],
+        "time_end": [20, 10, 15],
+        "split": ["validate"] * 3,
+    }).to_csv(split_csv, index=False)
+    frames = tmp_path / "rawframes"
+    for stem in ("vidA_000010_000020", "vidB"):
+        d = frames / stem
+        d.mkdir(parents=True)
+        for i in range(1, 4):
+            (d / f"img_{i:05}.jpg").touch()
+    out = tmp_path / "val.txt"
+    n = split_to_rawframe_list(str(split_csv), str(frames), str(out),
+                               labels_csv=str(labels_csv))
+    assert n == 2  # 'missing' skipped
+    lines = sorted(open(out).read().strip().splitlines())
+    assert lines == ["vidA_000010_000020 3 0", "vidB 3 1"]
