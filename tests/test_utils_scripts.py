@@ -224,3 +224,27 @@ def test_countix_loader(tmp_path):
     assert c.get_video("val_vid0").endswith("val/val_vid0.mp4")
     with pytest.raises(ValueError):
         c.get_count("nope")
+
+
+def test_compare_scores(tmp_path):
+    import json as _json
+    from workoutdetector_tpu.scripts.compare_scores import compare_dirs
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    scores = {str(i * 8): {"0": 0.9 - i * 0.1, "1": 0.1 + i * 0.1}
+              for i in range(4)}
+    _json.dump({"scores": scores}, open(a / "v.score.json", "w"))
+    # identical copy → perfect agreement
+    _json.dump({"scores": scores}, open(b / "v.score.json", "w"))
+    res = compare_dirs(str(a), str(b))
+    assert res["videos"] == 1
+    assert res["max_abs_score_delta"] == 0.0
+    assert res["mean_argmax_agreement"] == 1.0
+    assert res["count_agreement"] == 1.0
+    # perturbed copy → deltas appear
+    scores2 = {k: {"0": v["0"] + 0.05, "1": v["1"]} for k, v in scores.items()}
+    _json.dump({"scores": scores2}, open(b / "v.score.json", "w"))
+    res2 = compare_dirs(str(a), str(b))
+    assert abs(res2["max_abs_score_delta"] - 0.05) < 1e-9

@@ -149,9 +149,15 @@ class WorkoutServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            MAX_UPLOAD = 256 * 1024 * 1024  # 256 MB video cap
+
             def do_POST(self):
                 if self.path.rstrip("/") == "/video":
                     length = int(self.headers.get("Content-Length", 0))
+                    if length > self.MAX_UPLOAD:
+                        self._send_json({"success": False,
+                                         "msg": "Video too large"}, 413)
+                        return
                     data = self.rfile.read(length)
                     ctype = self.headers.get("Content-Type", "")
                     if "multipart/form-data" in ctype:
