@@ -160,3 +160,34 @@ def test_async_batcher_coalesces():
     # 6 concurrent requests should flush in far fewer than 6 device calls
     assert sum(calls) == 6
     assert len(calls) <= 3
+
+
+def test_ws_count_mode(server):
+    """'mode:count' switches the connection to live rep counting."""
+
+    async def drive():
+        import websockets
+        ws_task = asyncio.create_task(server.serve_ws())
+        await asyncio.sleep(0.2)
+        try:
+            uri = f"ws://127.0.0.1:{server.ws_port}/ws/counter"
+            async with websockets.connect(uri) as ws:
+                await ws.send("mode:count")
+                replies = []
+                # one dark→bright cycle = 1 rep (ConstModel argmax tracks mean:
+                # class 0 lowest... use extremes so argmax flips 0↔10)
+                for val in (10, 245):
+                    for _ in range(8):
+                        await ws.send(_frame_data_url(val))
+                    replies.append(json.loads(await asyncio.wait_for(ws.recv(), 30)))
+                assert all(r["mode"] == "count" for r in replies)
+                assert "count" in replies[-1] and "state" in replies[-1]
+                await ws.send("stop")
+        finally:
+            ws_task.cancel()
+            try:
+                await ws_task
+            except asyncio.CancelledError:
+                pass
+
+    asyncio.run(drive())

@@ -83,8 +83,12 @@ class WorkoutServer:
                  host: str = "0.0.0.0",
                  http_port: int = 8000,
                  ws_port: Optional[int] = None,
-                 batch_delay_ms: float = 10.0):
+                 batch_delay_ms: float = 10.0,
+                 count_engine: Optional[InferenceEngine] = None):
         self.engine = engine
+        # engine for the live rep-counting mode (binary state classifier);
+        # defaults to the main engine
+        self.count_engine = count_engine or engine
         self.labels = labels if labels is not None else list(WORKOUT_LABELS)
         self.host = host
         self.http_port = http_port
@@ -112,13 +116,43 @@ class WorkoutServer:
 
     # ---------------- websocket path ---------------- #
     async def _ws_handler(self, websocket) -> None:
+        """Two per-connection modes:
+        - 'recognize' (default): the reference contract — every 8 frames →
+          sorted {label: score} (app/inference.py:109-111).
+        - 'count': live rep counting (send 'mode:count' to switch) — every
+          8 frames → running count + state, via the online counter the
+          reference lacks (its counter is batch-only).
+        """
+        from workoutdetector_tpu.infer.streaming import StreamingRepCounter
+
         frame_queue: List[np.ndarray] = []
+        mode = "recognize"
+        counter: Optional[StreamingRepCounter] = None
         try:
             async for message in websocket:
                 if message == "stop":
                     break
+                if isinstance(message, str) and message.startswith("mode:"):
+                    mode = message.split(":", 1)[1]
+                    if mode == "count":
+                        counter = StreamingRepCounter(self.count_engine,
+                                                      window=SAMPLE_LENGTH)
+                    frame_queue.clear()
+                    continue
                 frame = decode_data_url(message) if isinstance(message, str) else None
                 if frame is None:
+                    continue
+                if mode == "count" and counter is not None:
+                    loop = __import__("asyncio").get_running_loop()
+                    update = await loop.run_in_executor(None, counter.push, frame)
+                    if update is not None:
+                        await websocket.send(json.dumps({
+                            "success": True,
+                            "mode": "count",
+                            "count": update["count"],
+                            "state": update["state"],
+                            "rep_completed": update["rep_completed"],
+                        }))
                     continue
                 frame_queue.append(frame)
                 if len(frame_queue) == SAMPLE_LENGTH:
