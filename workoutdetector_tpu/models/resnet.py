@@ -36,6 +36,29 @@ STAGE_SIZES = {
 BOTTLENECK = {"resnet18": False, "resnet34": False, "resnet50": True, "resnet101": True}
 
 
+class ShiftConv(nn.Module):
+    """conv1 fused with the TSM temporal shift (ops.temporal_shift.
+    shift_conv). Param-compatible with nn.Conv (one 'kernel', no bias) so
+    checkpoints are interchangeable with the unfused path."""
+    features: int
+    kernel_size: Any = (1, 1)
+    strides: Any = (1, 1)
+    padding: Any = "SAME"
+    n_segment: int = 8
+    fold_div: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from workoutdetector_tpu.ops.temporal_shift import shift_conv
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, x.shape[-1], self.features))
+        return shift_conv(x.astype(self.dtype), kernel.astype(self.dtype),
+                          self.n_segment, self.fold_div,
+                          tuple(self.strides), self.padding)
+
+
 class BasicBlock(nn.Module):
     """3x3-3x3 residual block (resnet18/34)."""
     filters: int
@@ -44,6 +67,7 @@ class BasicBlock(nn.Module):
     dtype: Any = jnp.float32
     norm: ModuleDef = nn.BatchNorm
     input_hook: Optional[Callable] = None
+    shift: Optional[Tuple[int, int]] = None  # (n_segment, fold_div) → fused
     train_attr: Optional[bool] = None  # train mode baked as an attribute so
     # nn.remat only traces x (the flag is a Python bool at trace time)
 
@@ -53,9 +77,15 @@ class BasicBlock(nn.Module):
             train = self.train_attr
         residual = x
         y = x if self.input_hook is None else self.input_hook(x)
-        y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides),
-                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
-                    name="conv1")(y)
+        if self.shift is not None:
+            y = ShiftConv(self.filters, (3, 3), (self.strides, self.strides),
+                          padding=[(1, 1), (1, 1)], n_segment=self.shift[0],
+                          fold_div=self.shift[1], dtype=self.dtype,
+                          name="conv1")(y)
+        else:
+            y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides),
+                        padding=[(1, 1), (1, 1)], use_bias=False,
+                        dtype=self.dtype, name="conv1")(y)
         y = self.norm(name="bn1")(y, use_running_average=not train)
         y = nn.relu(y)
         y = nn.Conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
@@ -79,6 +109,7 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.float32
     norm: ModuleDef = nn.BatchNorm
     input_hook: Optional[Callable] = None
+    shift: Optional[Tuple[int, int]] = None  # (n_segment, fold_div) → fused
     expansion: int = 4
     train_attr: Optional[bool] = None  # see BasicBlock.train_attr
 
@@ -88,8 +119,13 @@ class Bottleneck(nn.Module):
             train = self.train_attr
         residual = x
         y = x if self.input_hook is None else self.input_hook(x)
-        y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv1")(y)
+        if self.shift is not None:
+            y = ShiftConv(self.filters, (1, 1), n_segment=self.shift[0],
+                          fold_div=self.shift[1], dtype=self.dtype,
+                          name="conv1")(y)
+        else:
+            y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="conv1")(y)
         y = self.norm(name="bn1")(y, use_running_average=not train)
         y = nn.relu(y)
         y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides),
@@ -143,6 +179,9 @@ class ResNet(nn.Module):
     partial_bn: bool = False
     block_input_hook: Optional[Callable] = None
     stage_input_hook: Optional[Callable] = None  # fn(x, stage_idx) → x
+    # fn(stage_idx, block_idx) → Optional[(n_segment, fold_div)]: fuse the
+    # TSM shift into that block's conv1 (ShiftConv) instead of hooking
+    block_shift_spec: Optional[Callable] = None
     bn_momentum: float = 0.9
     bn_eps: float = 1e-5
     # rematerialize residual blocks on backward: trades ~30% more FLOPs for
@@ -178,12 +217,16 @@ class ResNet(nn.Module):
                 hook = None
                 if self.block_input_hook is not None:
                     hook = partial(self.block_input_hook, stage_idx=i, block_idx=j)
+                shift = None
+                if self.block_shift_spec is not None:
+                    shift = self.block_shift_spec(i, j)
                 x = block_cls(filters=filters,
                               strides=strides,
                               downsample=downsample,
                               dtype=self.dtype,
                               norm=norm_body,
                               input_hook=hook,
+                              shift=shift,
                               train_attr=train,
                               name=f"layer{i + 1}_{j}")(x)
 
