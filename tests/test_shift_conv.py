@@ -75,3 +75,45 @@ def test_tsm_fused_grad_flows():
     g = jax.grad(loss)(v["params"])
     gk = np.asarray(g["backbone"]["layer1_0"]["conv1"]["kernel"])
     assert np.isfinite(gk).all() and (gk != 0).any()
+
+
+def test_pallas_shift_matmul_parity_and_grads():
+    """Single-pass Pallas shift-matmul (interpret mode) vs the XLA
+    formulation: values and both gradients exact."""
+    from workoutdetector_tpu.ops.pallas.shift_matmul import make_shift_matmul
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2 * 4, 8, 8, 64)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((64, 16)).astype(np.float32) * 0.1)
+    op = make_shift_matmul(4, 8, interpret=True)
+    want = shift_conv(x, w[None, None], 4, 8)
+    np.testing.assert_allclose(np.asarray(op(x, w)), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    g1 = jax.grad(lambda xv: jnp.sum(op(xv, w) ** 2))(x)
+    g2 = jax.grad(lambda xv: jnp.sum(shift_conv(xv, w[None, None], 4, 8) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
+                               atol=1e-5)
+    gw1 = jax.grad(lambda wv: jnp.sum(op(x, wv) ** 2))(w)
+    gw2 = jax.grad(
+        lambda wv: jnp.sum(shift_conv(x, wv[None, None], 4, 8) ** 2))(w)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_tsm_pallas_impl_matches_xla():
+    """shift_impl='pallas' (fused pallas matmul at 1×1 sites) must produce
+    the same logits as 'xla' with shared params (interpret on CPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (1, 4, SMALL, SMALL, 3)).astype(np.float32))
+    xla_model = TSM(num_class=3, num_segments=4, base_model="resnet50",
+                    dropout=0.0, shift_impl="xla")
+    pl_model = TSM(num_class=3, num_segments=4, base_model="resnet50",
+                   dropout=0.0, shift_impl="pallas")
+    v = xla_model.init(jax.random.PRNGKey(0), x)
+    y_xla = xla_model.apply(v, x)
+    with pltpu.force_tpu_interpret_mode():
+        y_pl = pl_model.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_xla),
+                               rtol=1e-3, atol=1e-4)

@@ -39,7 +39,11 @@ BOTTLENECK = {"resnet18": False, "resnet34": False, "resnet50": True, "resnet101
 class ShiftConv(nn.Module):
     """conv1 fused with the TSM temporal shift (ops.temporal_shift.
     shift_conv). Param-compatible with nn.Conv (one 'kernel', no bias) so
-    checkpoints are interchangeable with the unfused path."""
+    checkpoints are interchangeable with the unfused path.
+
+    impl='pallas' routes 1×1/stride-1 sites through the single-pass Pallas
+    shift-matmul kernel (ops/pallas/shift_matmul.py, custom-VJP so it
+    trains); other shapes fall back to the XLA split-conv."""
     features: int
     kernel_size: Any = (1, 1)
     strides: Any = (1, 1)
@@ -47,6 +51,7 @@ class ShiftConv(nn.Module):
     n_segment: int = 8
     fold_div: int = 8
     dtype: Any = jnp.float32
+    impl: str = "xla"  # xla | pallas
 
     @nn.compact
     def __call__(self, x):
@@ -54,8 +59,15 @@ class ShiftConv(nn.Module):
         kh, kw = self.kernel_size
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (kh, kw, x.shape[-1], self.features))
-        return shift_conv(x.astype(self.dtype), kernel.astype(self.dtype),
-                          self.n_segment, self.fold_div,
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        if self.impl == "pallas" and (kh, kw) == (1, 1) and \
+                tuple(self.strides) == (1, 1):
+            from workoutdetector_tpu.ops.pallas.shift_matmul import \
+                make_shift_matmul
+            op = make_shift_matmul(self.n_segment, self.fold_div)
+            return op(x, kernel[0, 0])
+        return shift_conv(x, kernel, self.n_segment, self.fold_div,
                           tuple(self.strides), self.padding)
 
 
@@ -67,7 +79,7 @@ class BasicBlock(nn.Module):
     dtype: Any = jnp.float32
     norm: ModuleDef = nn.BatchNorm
     input_hook: Optional[Callable] = None
-    shift: Optional[Tuple[int, int]] = None  # (n_segment, fold_div) → fused
+    shift: Optional[Tuple] = None  # (n_segment, fold_div[, impl]) → fused
     train_attr: Optional[bool] = None  # train mode baked as an attribute so
     # nn.remat only traces x (the flag is a Python bool at trace time)
 
@@ -78,10 +90,11 @@ class BasicBlock(nn.Module):
         residual = x
         y = x if self.input_hook is None else self.input_hook(x)
         if self.shift is not None:
+            impl = self.shift[2] if len(self.shift) > 2 else "xla"
             y = ShiftConv(self.filters, (3, 3), (self.strides, self.strides),
                           padding=[(1, 1), (1, 1)], n_segment=self.shift[0],
                           fold_div=self.shift[1], dtype=self.dtype,
-                          name="conv1")(y)
+                          impl=impl, name="conv1")(y)
         else:
             y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides),
                         padding=[(1, 1), (1, 1)], use_bias=False,
@@ -109,7 +122,7 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.float32
     norm: ModuleDef = nn.BatchNorm
     input_hook: Optional[Callable] = None
-    shift: Optional[Tuple[int, int]] = None  # (n_segment, fold_div) → fused
+    shift: Optional[Tuple] = None  # (n_segment, fold_div[, impl]) → fused
     expansion: int = 4
     train_attr: Optional[bool] = None  # see BasicBlock.train_attr
 
@@ -120,9 +133,10 @@ class Bottleneck(nn.Module):
         residual = x
         y = x if self.input_hook is None else self.input_hook(x)
         if self.shift is not None:
+            impl = self.shift[2] if len(self.shift) > 2 else "xla"
             y = ShiftConv(self.filters, (1, 1), n_segment=self.shift[0],
                           fold_div=self.shift[1], dtype=self.dtype,
-                          name="conv1")(y)
+                          impl=impl, name="conv1")(y)
         else:
             y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype,
                         name="conv1")(y)

@@ -106,15 +106,17 @@ class TSM(nn.Module):
             def hook(y, stage_idx, block_idx):
                 return self._shift(y, self._seg_at_stage(stage_idx))
         elif self.is_shift and self.shift_place == "blockres" and \
-                self.shift_impl == "xla":
-            # fused path: conv1 absorbs the shift (ops.shift_conv) — only
-            # the thin folds move through HBM, saving ~40% of step time vs
-            # materializing the shifted tensor (measured on v5e)
+                self.shift_impl in ("xla", "pallas"):
+            # fused path: conv1 absorbs the shift — only the thin folds
+            # move through HBM vs materializing the shifted tensor
+            # ('xla' = ops.shift_conv split convs; 'pallas' = single-pass
+            # shift-matmul kernel at 1×1 sites)
             n_round = 2 if STAGE_SIZES[self.base_model][2] >= 23 else 1
 
             def shift_spec(stage_idx, block_idx):
                 if block_idx % n_round == 0:
-                    return (self._seg_at_stage(stage_idx), self.shift_div)
+                    return (self._seg_at_stage(stage_idx), self.shift_div,
+                            self.shift_impl)
                 return None
         elif self.is_shift:
             hook = self._block_hook
