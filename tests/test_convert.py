@@ -98,3 +98,60 @@ def test_strip_helpers():
     sd = {"module.a.b": 1, "c.net.d": 2}
     assert strip_ddp_prefix(sd) == {"a.b": 1, "c.net.d": 2}
     assert strip_shift_wrappers(sd) == {"module.a.b": 1, "c.d": 2}
+
+
+def test_tdn_port_roundtrip():
+    """TDN port: flax → torch-style dict → flax must be exact, and ported
+    params must drive the model to identical logits."""
+    from workoutdetector_tpu.models import TDN
+    from workoutdetector_tpu.models.convert import (flax_tdn_to_torch_dict,
+                                                    port_tdn_checkpoint)
+
+    model = TDN(num_class=4, num_segments=2)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 2, 5, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    torch_dict = flax_tdn_to_torch_dict(variables)
+    # torch-style key layout sanity
+    assert "base_model.conv1.weight" in torch_dict
+    assert "base_model.conv1_5.0.weight" in torch_dict
+    assert "base_model.conv1_5.1.running_mean" in torch_dict
+    assert "base_model.layer2_bak.0.mse.conv1.weight" in torch_dict
+    assert "base_model.layer2_bak.0.shift.conv.weight" in torch_dict
+    assert torch_dict["base_model.layer2_bak.0.shift.conv.weight"].ndim == 3
+    assert "base_model.resnext_layer1.0.conv1.weight" in torch_dict
+    assert "new_fc.weight" in torch_dict
+
+    ported = port_tdn_checkpoint(torch_dict, num_class=4)
+    want_p = traverse_util.flatten_dict(variables["params"])
+    got_p = traverse_util.flatten_dict(ported["params"])
+    assert set(want_p) == set(got_p), \
+        (sorted(set(want_p) - set(got_p))[:5], sorted(set(got_p) - set(want_p))[:5])
+    for k in want_p:
+        np.testing.assert_array_equal(np.asarray(want_p[k]), got_p[k], err_msg=str(k))
+    want_s = traverse_util.flatten_dict(variables["batch_stats"])
+    got_s = traverse_util.flatten_dict(ported["batch_stats"])
+    assert set(want_s) == set(got_s)
+
+    y0 = model.apply(variables, x)
+    y1 = model.apply({"params": ported["params"],
+                      "batch_stats": ported["batch_stats"]}, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+
+
+def test_tdn_port_fc_mismatch():
+    from workoutdetector_tpu.models import TDN
+    from workoutdetector_tpu.models.convert import (flax_tdn_to_torch_dict,
+                                                    port_tdn_checkpoint)
+
+    model = TDN(num_class=4, num_segments=2)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 2, 5, 32, 32, 3)))
+    torch_dict = flax_tdn_to_torch_dict(variables)  # 4-class head
+    ported = port_tdn_checkpoint(torch_dict, num_class=7,
+                                 target_params=variables["params"])
+    # mismatched head dropped; backbone intact
+    np.testing.assert_array_equal(
+        np.asarray(ported["params"]["conv1"]["kernel"]),
+        np.asarray(variables["params"]["conv1"]["kernel"]))

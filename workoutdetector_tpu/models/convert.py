@@ -200,6 +200,131 @@ def flax_to_torch_dict(variables: Mapping[str, Any],
     return out
 
 
+def _tdn_torch_key_rename(key: str) -> str:
+    """Torch TDN (TSN wrapper over TDN_Net, reference tdn.py:92-137 +
+    tsn.py:140-147) key → this framework's dotted module path."""
+    k = key
+    if k.startswith("base_model."):
+        k = k[len("base_model."):]
+    # stem diff conv: Sequential(conv, bn, relu) → conv1_5 + bn1_5
+    k = re.sub(r"^conv1_5\.0\.", "conv1_5.", k)
+    k = re.sub(r"^conv1_5\.1\.", "bn1_5.", k)
+    # stage renames: layer{i}_bak.{j} → layer{i}.{j}; resnext_layer1.{j}
+    k = re.sub(r"^layer(\d+)_bak\.", r"layer\1.", k)
+    k = re.sub(r"^resnext_layer1\.(\d+)\.", r"resnext_layer1_\1.", k)
+    return k
+
+
+def port_tdn_checkpoint(state_dict: Mapping[str, Any],
+                        num_class: int,
+                        target_params: Optional[Any] = None) -> Dict[str, Any]:
+    """Port a torch TDN checkpoint (reference create_model surgery,
+    tdn.py:43-73: '.net' add/remove, fc-shape drop) into the flax TDN
+    layout, including the ShiftModule Conv1d → 3-tap kernel squeeze."""
+    sd = strip_shift_wrappers(strip_ddp_prefix(dict(state_dict)))
+    params: Dict[Tuple[str, ...], np.ndarray] = {}
+    stats: Dict[Tuple[str, ...], np.ndarray] = {}
+    fc_w = sd.get("new_fc.weight")
+    drop_fc = fc_w is not None and _to_numpy(fc_w).shape[0] != num_class
+    for key, v in sd.items():
+        k = _tdn_torch_key_rename(key)
+        if drop_fc and k.startswith("new_fc."):
+            continue
+        # learnable temporal shift: conv1d weight (C, 1, 3) → (C, 3)
+        if k.endswith(".shift.conv.weight"):
+            parts = k.split(".")[:-3]  # module path up to the block
+            merged = []
+            i = 0
+            while i < len(parts):
+                if re.fullmatch(r"layer\d+", parts[i]) and \
+                        i + 1 < len(parts) and parts[i + 1].isdigit():
+                    merged.append(f"{parts[i]}_{parts[i + 1]}")
+                    i += 2
+                else:
+                    merged.append(parts[i])
+                    i += 1
+            params[tuple(merged) + ("shift", "kernel")] = _to_numpy(v)[:, 0, :]
+            continue
+        m = _torch_key_to_flax(k)
+        if m is None:
+            continue
+        path, coll = m
+        arr = _convert_value(path, _to_numpy(v))
+        (params if coll == "params" else stats)[path] = arr
+    tree = {
+        "params": traverse_util.unflatten_dict(params),
+        "batch_stats": traverse_util.unflatten_dict(stats),
+    }
+    if target_params is not None:
+        tree["params"] = merge_into(target_params, tree["params"])
+    return tree
+
+
+def flax_tdn_to_torch_dict(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse export for TDN: flax variables → torch-style state dict
+    (round-trip oracle for port_tdn_checkpoint)."""
+    out: Dict[str, np.ndarray] = {}
+    for coll in ("params", "batch_stats"):
+        flat = traverse_util.flatten_dict(variables.get(coll, {}))
+        for path, v in flat.items():
+            parts = list(path)
+            leaf = parts[-1]
+            v = np.asarray(v)
+            if parts[-2] == "shift" and leaf == "kernel":
+                key = "base_model." + ".".join(
+                    _unlayer(parts[:-2])) + ".shift.conv.weight"
+                out[key] = v[:, None, :]
+                continue
+            if leaf == "kernel":
+                if v.ndim == 4:
+                    v = np.transpose(v, (3, 2, 0, 1))
+                elif v.ndim == 2:
+                    v = np.transpose(v, (1, 0))
+                leaf = "weight"
+            elif leaf == "scale":
+                leaf = "weight"
+            elif leaf == "mean":
+                leaf = "running_mean"
+            elif leaf == "var":
+                leaf = "running_var"
+            mods = _unlayer(parts[:-1])
+            # undo the framework-side renames
+            if mods[0] == "conv1_5":
+                key = "base_model.conv1_5.0." + leaf
+            elif mods[0] == "bn1_5":
+                key = "base_model.conv1_5.1." + leaf
+            elif mods[0] == "new_fc":
+                key = "new_fc." + leaf
+            else:
+                key = "base_model." + ".".join(mods) + "." + leaf
+            out[key] = v
+    return out
+
+
+def _unlayer(parts):
+    """our module names → torch dotted: layer{i}_{j} → layer{i}_bak.{j},
+    resnext_layer1_{j} → resnext_layer1.{j}, downsample_conv/bn →
+    downsample.0/1."""
+    res = []
+    for p in parts:
+        m = re.fullmatch(r"layer(\d+)_(\d+)", p)
+        if m:
+            res.extend([f"layer{m.group(1)}_bak", m.group(2)])
+            continue
+        m = re.fullmatch(r"resnext_layer1_(\d+)", p)
+        if m:
+            res.extend(["resnext_layer1", m.group(1)])
+            continue
+        if p == "downsample_conv":
+            res.extend(["downsample", "0"])
+            continue
+        if p == "downsample_bn":
+            res.extend(["downsample", "1"])
+            continue
+        res.append(p)
+    return res
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     """Load a .pth/.ckpt file → raw state dict (handles the 'state_dict'
     nesting both torch-lightning and mmcv use)."""

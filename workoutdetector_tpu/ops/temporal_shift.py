@@ -93,9 +93,10 @@ def shift_conv(x: jnp.ndarray,
     # Split the conv by input-channel fold: pass-through channels (the
     # bulk) read in place, and ONE conv over the two shifted folds
     # concatenated (channel order [left, right] matches W[:2f] rows).
-    # Variants measured e2e on v5e (TSM-R50, batch 32): three-way split
-    # 898 clips/s, full-conv + delta corrections 840, naive concat shift
-    # 836, pallas fused matmul 827.
+    # Variants measured e2e on v5e (TSM-R50, batch 32): this two-way split
+    # 912 clips/s, three-way split 898, tail-fold reordering 897 (channel
+    # offset of the big slice doesn't matter), full-conv + delta
+    # corrections 840, naive concat shift 836, pallas fused matmul 827.
     y = conv(x[..., 2 * fold:], kernel[:, :, 2 * fold:, :])
     x2 = x[..., :2 * fold].reshape(b, n_segment, h, w, 2 * fold)
     zeros = jnp.zeros_like(x2[:, :1, ..., :fold])

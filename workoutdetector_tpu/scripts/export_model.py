@@ -49,10 +49,13 @@ def main(argv=None) -> None:
                          "batch_stats", variables.get("batch_stats", {}))}
     elif args.torch_ckpt:
         from workoutdetector_tpu.models.convert import (load_torch_checkpoint,
+                                                        port_tdn_checkpoint,
                                                         port_tsm_checkpoint)
-        tree = port_tsm_checkpoint(load_torch_checkpoint(args.torch_ckpt),
-                                   num_class=cfg.model.num_class,
-                                   target_params=variables["params"])
+        port = port_tdn_checkpoint if cfg.model.model_type.lower() == "tdn" \
+            else port_tsm_checkpoint
+        tree = port(load_torch_checkpoint(args.torch_ckpt),
+                    num_class=cfg.model.num_class,
+                    target_params=variables["params"])
         variables = {"params": tree["params"],
                      "batch_stats": tree.get("batch_stats",
                                              variables.get("batch_stats", {}))}
