@@ -143,3 +143,16 @@ def test_tsm_bf16_compute():
     assert k.dtype == jnp.float32
     y = model.apply(variables, x)
     assert y.dtype == jnp.float32  # consensus promotes logits
+
+
+def test_tdn_accepts_flat_burst_layout():
+    """TDNDataset batches are (B, T*5, H, W, C); the model must unflatten
+    and produce identical logits to the explicit 6-D layout."""
+    model = TDN(num_class=3, num_segments=2)
+    x6 = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 2, 5, SMALL, SMALL, 3)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x6)
+    y6 = model.apply(v, x6)
+    x5 = x6.reshape(2, 10, SMALL, SMALL, 3)
+    y5 = model.apply(v, x5)
+    np.testing.assert_allclose(np.asarray(y5), np.asarray(y6), atol=1e-6)

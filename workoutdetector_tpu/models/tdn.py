@@ -215,6 +215,12 @@ class TDN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if x.ndim == 5:
+            # dataset-pipeline layout (B, T*5, H, W, C) — the shape
+            # TDNDataset batches yield (reference tdn_dataset.py returns
+            # (T*5, C, H, W) stacks); unflatten the burst axis
+            bb, td, hh, ww, cc = x.shape
+            x = x.reshape(bb, td // self.num_frames, self.num_frames, hh, ww, cc)
         b, t, d, h, w, c = x.shape
         assert d == self.num_frames == 5, "TDN uses 5-frame bursts"
         alpha = self.alpha if self.alpha is not None else (0.5 if t == 8 else 0.75)
