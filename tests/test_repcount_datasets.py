@@ -98,3 +98,20 @@ def test_frame_and_tdn_dataset_shapes(repcount_root, tmp_path):
     x, y = next(iter(loader))
     assert x.shape == (2, 8, 32, 32, 3)
     assert y.shape == (2,)
+
+
+def test_loader_propagates_worker_errors(tmp_path):
+    """A decode failure must raise in the consumer, not hang the loader
+    (regression: producer died silently and the consumer blocked forever)."""
+    from workoutdetector_tpu.data.loader import DataLoader
+
+    class Broken:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, idx, rng=None):
+            raise FileNotFoundError(f"missing_{idx}.jpg")
+
+    loader = DataLoader(Broken(), batch_size=4, num_workers=2)
+    with pytest.raises(FileNotFoundError):
+        next(iter(loader))

@@ -251,7 +251,12 @@ def build_dataset(cfg: DataConfig, split: str):
                             size=cfg.debug_size,
                             image_size=cfg.image_size)
     split_cfg = getattr(cfg, split)
-    transform = build_transform(split)
+    person_crop = None
+    if split_cfg.person_crop:
+        from workoutdetector_tpu.data.person import PersonCrop
+        person_crop = PersonCrop()
+    transform = build_transform(split, person_crop=person_crop,
+                                size=cfg.image_size, scale=cfg.scale_size)
     if cfg.dataset_type == "FrameDataset":
         return FrameDataset(data_root=cfg.data_root,
                             anno_path=split_cfg.anno,

@@ -73,16 +73,25 @@ class DataLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(n_batches):
-                    if stop.is_set():
-                        return
-                    idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                    items = list(pool.map(self._fetch, idxs))
-                    xs = np.stack([it[0] for it in items])
-                    ys = np.asarray([it[1] for it in items], dtype=np.int32)
-                    out_q.put((xs, ys))
-            out_q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(n_batches):
+                        if stop.is_set():
+                            return
+                        idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                        items = list(pool.map(self._fetch, idxs))
+                        xs = np.stack([it[0] for it in items])
+                        ys = np.asarray([it[1] for it in items], dtype=np.int32)
+                        while not stop.is_set():
+                            try:
+                                out_q.put((xs, ys), timeout=0.5)
+                                break
+                            except queue.Full:
+                                continue
+            except BaseException as e:  # surface worker errors to the consumer
+                _safe_put(out_q, e, stop)
+            else:
+                _safe_put(out_q, None, stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -91,6 +100,25 @@ class DataLoader:
                 item = out_q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()
+            # drain so a blocked producer can observe stop and exit
+            while not out_q.empty():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break
+
+
+def _safe_put(q: "queue.Queue", item, stop: threading.Event) -> None:
+    """Enqueue without deadlocking if the consumer has gone away."""
+    while True:
+        try:
+            q.put(item, timeout=0.5)
+            return
+        except queue.Full:
+            if stop.is_set():
+                return

@@ -178,8 +178,9 @@ class TestTransform:
         return np.ascontiguousarray(clip)
 
 
-def build_transform(split: str, person_crop=None):
+def build_transform(split: str, person_crop=None, size: int = INPUT_SIZE,
+                    scale: int = SCALE_SIZE):
     """Factory mirroring reference build.py:71-86."""
     if split == "train":
-        return TrainTransform()
-    return TestTransform(person_crop=person_crop)
+        return TrainTransform(size=size)
+    return TestTransform(size=size, scale=scale, person_crop=person_crop)
