@@ -156,3 +156,28 @@ def test_tdn_accepts_flat_burst_layout():
     x5 = x6.reshape(2, 10, SMALL, SMALL, 3)
     y5 = model.apply(v, x5)
     np.testing.assert_allclose(np.asarray(y5), np.asarray(y6), atol=1e-6)
+
+
+def test_tsm_block_shift_place():
+    """shift_place='block' (whole-block input shift, reference
+    make_temporal_shift place='block', tsm.py:116-123) runs and mixes time."""
+    model = TSM(num_class=3, num_segments=4, base_model="resnet18",
+                shift_place="block", dropout=0.0)
+    x = np.random.default_rng(0).standard_normal((1, 4, SMALL, SMALL, 3)).astype(
+        np.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y1 = model.apply(v, jnp.asarray(x))
+    y2 = model.apply(v, jnp.asarray(x[:, ::-1].copy()))
+    assert y1.shape == (1, 3)
+    assert not np.allclose(np.asarray(y1), np.asarray(y2), atol=1e-4)
+
+
+def test_tsm_identity_consensus():
+    """consensus_type='identity' returns per-segment logits
+    (reference SegmentConsensus 'identity', tsm.py:169-170)."""
+    model = TSM(num_class=5, num_segments=4, base_model="resnet18",
+                consensus_type="identity", dropout=0.0)
+    x = jnp.zeros((2, 4, SMALL, SMALL, 3))
+    v = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(v, x)
+    assert y.shape == (2, 4, 5)
