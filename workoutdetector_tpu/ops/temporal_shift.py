@@ -91,16 +91,25 @@ def shift_conv(x: jnp.ndarray,
                                             dimension_numbers=dn)
 
     # Split the conv by input-channel fold: pass-through channels (the
-    # bulk) read in place, and ONE conv over the two shifted folds
-    # concatenated (channel order [left, right] matches W[:2f] rows).
-    # Variants measured e2e on v5e (TSM-R50, batch 32): this two-way split
-    # 912 clips/s, three-way split 898, tail-fold reordering 897 (channel
-    # offset of the big slice doesn't matter), full-conv + delta
-    # corrections 840, naive concat shift 836, pallas fused matmul 827.
+    # bulk) read in place, and ONE conv over the two shifted folds. The
+    # fold shifts stay in the FLAT (B*T) layout: a roll along the batch
+    # axis plus a time-edge mask — no reshape/concat chain, so XLA fuses
+    # the whole thing into the conv input read (the reshape→concat variant
+    # forced real HBM copies).
+    # Variants measured e2e on v5e (TSM-R50, batch 32): this roll+mask
+    # split 1138 clips/s, reshape/concat two-way split 912, three-way
+    # split 898, tail-fold reorder 897, full-conv + delta corrections 840,
+    # naive concat shift 836, pallas fused matmul 827.
+    import jax
+
     y = conv(x[..., 2 * fold:], kernel[:, :, 2 * fold:, :])
-    x2 = x[..., :2 * fold].reshape(b, n_segment, h, w, 2 * fold)
-    zeros = jnp.zeros_like(x2[:, :1, ..., :fold])
-    left = jnp.concatenate([x2[:, 1:, ..., :fold], zeros], axis=1)
-    right = jnp.concatenate([zeros, x2[:, :-1, ..., fold:]], axis=1)
-    folds = jnp.concatenate([left, right], axis=-1).reshape(bt, h, w, 2 * fold)
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (bt, 1, 1, 1), 0) % n_segment
+    # left fold: row i reads i+1 (zero at t == T-1; the roll's wraparound
+    # row lands where the mask is zero, including across clip boundaries)
+    xl = jnp.roll(x[..., :fold], -1, axis=0) * \
+        (t_idx != n_segment - 1).astype(x.dtype)
+    # right fold: row i reads i-1 (zero at t == 0)
+    xr = jnp.roll(x[..., fold:2 * fold], 1, axis=0) * \
+        (t_idx != 0).astype(x.dtype)
+    folds = jnp.concatenate([xl, xr], axis=-1)
     return y + conv(folds, kernel[:, :, :2 * fold, :])
