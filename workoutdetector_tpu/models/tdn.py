@@ -29,12 +29,18 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _time_pad_shift(x: jnp.ndarray, direction: int) -> jnp.ndarray:
-    """Zero-padded shift along a leading time axis of (B, T, ...)."""
-    if direction == 1:  # y[t] = x[t+1]
-        return jnp.concatenate([x[:, 1:], jnp.zeros_like(x[:, :1])], axis=1)
-    if direction == -1:  # y[t] = x[t-1]
-        return jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, :-1]], axis=1)
+def _flat_time_shift(x: jnp.ndarray, n_segment: int, direction: int) -> jnp.ndarray:
+    """Zero-padded time shift in the FLAT (B*T, ...) layout: roll along the
+    batch axis + edge mask. Fuses into consumers (no reshape/concat copies
+    — the same trick that took TSM 912 → 1155 clips/s, see
+    ops.temporal_shift.shift_conv)."""
+    bt = x.shape[0]
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (bt,) + (1,) * (x.ndim - 1),
+                                     0) % n_segment
+    if direction == 1:  # y[i] = x[i+1], zero at t == T-1
+        return jnp.roll(x, -1, axis=0) * (t_idx != n_segment - 1).astype(x.dtype)
+    if direction == -1:  # y[i] = x[i-1], zero at t == 0
+        return jnp.roll(x, 1, axis=0) * (t_idx != 0).astype(x.dtype)
     return x
 
 
@@ -70,13 +76,10 @@ class TemporalShiftConv(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (B*T, H, W, C) → same shape."""
-        bt, h, w_, c = x.shape
-        b = bt // self.n_segment
         w = self.param("kernel", self._init_kernel)
-        xt = x.reshape(b, self.n_segment, h, w_, c)
-        y = (_time_pad_shift(xt, -1) * w[:, 0] + xt * w[:, 1] +
-             _time_pad_shift(xt, 1) * w[:, 2])
-        return y.reshape(bt, h, w_, c)
+        prev = _flat_time_shift(x, self.n_segment, -1)
+        nxt = _flat_time_shift(x, self.n_segment, 1)
+        return prev * w[:, 0] + x * w[:, 1] + nxt * w[:, 2]
 
 
 class MSEModule(nn.Module):
@@ -101,17 +104,16 @@ class MSEModule(nn.Module):
         conv_bott = nn.Conv(r, (3, 3), padding=[(1, 1), (1, 1)], feature_group_count=r,
                             use_bias=False, dtype=self.dtype, name="conv2")(bott)
 
-        bt_shape = (b, self.n_segment, h, w, r)
-        bott_t = bott.reshape(bt_shape)
-        conv_t = conv_bott.reshape(bt_shape)
+        # temporal diffs in the flat layout (roll + edge mask — no
+        # reshape/concat copies). Zero row where the reference zero-pads.
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, (bt, 1, 1, 1),
+                                         0) % self.n_segment
+        last = (t_idx != self.n_segment - 1).astype(bott.dtype)
+        first = (t_idx != 0).astype(bott.dtype)
         # forward diff: conv(t+1) - raw(t), zero at last t
-        diff_fwd = jnp.concatenate(
-            [conv_t[:, 1:] - bott_t[:, :-1],
-             jnp.zeros_like(bott_t[:, :1])], axis=1).reshape(bt, h, w, r)
+        diff_fwd = (jnp.roll(conv_bott, -1, axis=0) - bott) * last
         # backward diff: conv(t-1) - raw(t), zero at first t
-        diff_bwd = jnp.concatenate(
-            [jnp.zeros_like(bott_t[:, :1]),
-             conv_t[:, :-1] - bott_t[:, 1:]], axis=1).reshape(bt, h, w, r)
+        diff_bwd = (jnp.roll(conv_bott, 1, axis=0) - bott) * first
 
         conv_s2 = nn.Conv(r, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
                           dtype=self.dtype, name="conv3_smallscale2")
