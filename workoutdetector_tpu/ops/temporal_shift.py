@@ -18,6 +18,7 @@ contiguous lanes, so the rolls are cheap lane-aligned copies.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -78,11 +79,8 @@ def shift_conv(x: jnp.ndarray,
         x: (B*T, H, W, C) activations.
         kernel: (kh, kw, C, O) HWIO conv kernel.
     """
-    import jax
-
     bt, h, w, c = x.shape
     fold = c // fold_div
-    b = bt // n_segment
     dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
                                         ("NHWC", "HWIO", "NHWC"))
 
@@ -100,8 +98,6 @@ def shift_conv(x: jnp.ndarray,
     # split 1138 clips/s, reshape/concat two-way split 912, three-way
     # split 898, tail-fold reorder 897, full-conv + delta corrections 840,
     # naive concat shift 836, pallas fused matmul 827.
-    import jax
-
     y = conv(x[..., 2 * fold:], kernel[:, :, 2 * fold:, :])
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (bt, 1, 1, 1), 0) % n_segment
     # left fold: row i reads i+1 (zero at t == T-1; the roll's wraparound
