@@ -44,12 +44,17 @@ def temporal_shift(x: jnp.ndarray, fold_div: int = 8) -> jnp.ndarray:
 
 def temporal_shift_flat(x: jnp.ndarray, n_segment: int, fold_div: int = 8) -> jnp.ndarray:
     """Temporal shift over a flattened (B*T, H, W, C) batch — the layout
-    convs run in. Reshapes to expose T, shifts, flattens back; XLA fuses
-    the reshapes away."""
-    bt, h, w, c = x.shape
-    b = bt // n_segment
-    y = temporal_shift(x.reshape(b, n_segment, h, w, c), fold_div)
-    return y.reshape(bt, h, w, c)
+    convs run in. Uses the flat roll + time-edge-mask formulation (no
+    reshape/concat chain; fuses into consumers — see shift_conv notes)."""
+    bt = x.shape[0]
+    c = x.shape[-1]
+    fold = c // fold_div
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (bt, 1, 1, 1), 0) % n_segment
+    left = jnp.roll(x[..., :fold], -1, axis=0) * \
+        (t_idx != n_segment - 1).astype(x.dtype)
+    right = jnp.roll(x[..., fold:2 * fold], 1, axis=0) * \
+        (t_idx != 0).astype(x.dtype)
+    return jnp.concatenate([left, right, x[..., 2 * fold:]], axis=-1)
 
 
 def shift_conv(x: jnp.ndarray,
