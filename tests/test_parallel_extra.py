@@ -122,3 +122,73 @@ def test_resize_matches_pil_within_tolerance():
     assert ours.shape == theirs.shape
     diff = np.abs(ours.astype(int) - theirs.astype(int)).mean()
     assert diff < 3.0, f"resize divergence too large: {diff}"
+
+
+def _tiny_tsm_cfg():
+    cfg = Config()
+    cfg.model.model_type = "tsm"
+    cfg.model.base_model = "resnet18"
+    cfg.model.num_class = 2
+    cfg.model.num_segments = 2
+    cfg.model.dropout = 0.0
+    cfg.model.dtype = "float32"
+    cfg.data.image_size = SMALL
+    cfg.data.num_segments = 2
+    return cfg
+
+
+def test_model_axis_partitions_and_matches_replicated():
+    """VERDICT r1 #3: the model axis must be real. On a (4,2) mesh large
+    kernels hold half the tensor per device, and two train steps + an eval
+    produce the same numbers as the fully-replicated (8,1) run."""
+    from workoutdetector_tpu.parallel.mesh import param_spec
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, (8, 2, SMALL, SMALL, 3), dtype=np.uint8)
+    y = rng.integers(0, 2, (8,)).astype(np.int32)
+
+    results = {}
+    for model_axis in (1, 2):
+        cfg = _tiny_tsm_cfg()
+        mesh = create_mesh(model=model_axis)
+        trainer = Trainer(cfg, mesh=mesh)
+        state = trainer.init_state(steps_per_epoch=2, image_size=SMALL)
+        if model_axis == 2:
+            sharded = [p for p in jax.tree_util.tree_leaves(state.params)
+                       if not p.sharding.is_fully_replicated]
+            assert sharded, "no param partitioned over the model axis"
+            for p in sharded:
+                shard = p.addressable_shards[0].data.shape
+                assert int(np.prod(shard)) * 2 == int(np.prod(p.shape))
+        step = trainer.train_step_fn()
+        bx, by = shard_batch((x, y), mesh)
+        state, m1 = step(state, bx, by)
+        state, m2 = step(state, bx, by)
+        ev = trainer.eval_step_fn()(state, bx, by)
+        results[model_axis] = (float(m1["loss"]), float(m2["loss"]),
+                               float(ev["loss"]), int(ev["correct"]),
+                               np.asarray(state.params["fc"]["kernel"]))
+
+    a, b = results[1], results[2]
+    assert a[3] == b[3]
+    np.testing.assert_allclose(a[0], b[0], rtol=1e-5)
+    np.testing.assert_allclose(a[1], b[1], rtol=1e-4)
+    np.testing.assert_allclose(a[2], b[2], rtol=1e-4)
+    np.testing.assert_allclose(a[4], b[4], rtol=1e-4, atol=1e-6)
+
+
+def test_param_spec_rules():
+    from jax.sharding import PartitionSpec as P
+    from workoutdetector_tpu.parallel.mesh import param_spec
+
+    mesh = create_mesh(model=2)
+    # conv HWIO with big O → sharded on O
+    assert param_spec((3, 3, 64, 128), mesh) == P(None, None, None, "model")
+    # dense (in, out) with big in → sharded on in
+    assert param_spec((512, 12), mesh) == P("model", None)
+    # small / non-divisible / 1-D → replicated
+    assert param_spec((3, 3, 3, 7), mesh) == P()
+    assert param_spec((64,), mesh) == P()
+    assert param_spec((), mesh) == P()
+    # model axis of 1 → always replicated
+    assert param_spec((512, 12), create_mesh(model=1)) == P()

@@ -49,6 +49,42 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def param_spec(shape: Sequence[int], mesh: Mesh, axis: str = "model",
+               min_per_shard: int = 8) -> P:
+    """Shape-based PartitionSpec for a parameter (or optimizer-momentum) leaf.
+
+    Makes the ``model`` axis real (not just reserved): large conv kernels
+    are sharded over their output-channel dim and dense/fc kernels over
+    their input-feature dim, so a (data, model) mesh holds 1/model of each
+    big tensor per device; XLA inserts the all-gather/reduce-scatter pair
+    on ICI. Leaves too small (or not divisible) stay replicated — BN
+    scale/bias, heads with tiny class counts, scalars.
+
+    Shape-based (not name-based) so the same rule covers params, optax
+    momentum buffers, and batch_stats without pytree-path plumbing.
+    """
+    n = mesh.shape.get(axis, 1)
+    if n <= 1:
+        return P()
+    if len(shape) == 4:  # conv HWIO → shard O (output channels)
+        if shape[3] % n == 0 and shape[3] // n >= min_per_shard:
+            return P(None, None, None, axis)
+    elif len(shape) == 2:  # dense (in, out) → shard the big input dim
+        if shape[0] % n == 0 and shape[0] // n >= min_per_shard:
+            return P(axis, None)
+    return P()
+
+
+def state_sharding(state: Any, mesh: Mesh) -> Any:
+    """Pytree of NamedShardings for a TrainState (params + batch_stats +
+    opt_state), applying :func:`param_spec` per leaf."""
+    def rule(x):
+        shape = getattr(x, "shape", ())
+        return NamedSharding(mesh, param_spec(shape, mesh))
+
+    return jax.tree_util.tree_map(rule, state)
+
+
 def local_batch_size(global_batch: int, mesh: Mesh, axis: str = "data") -> int:
     n = mesh.shape[axis]
     assert global_batch % n == 0, \

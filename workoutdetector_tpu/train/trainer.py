@@ -41,7 +41,8 @@ from workoutdetector_tpu.data.loader import DataLoader
 from workoutdetector_tpu.models.factory import build_model, example_input
 from workoutdetector_tpu.ops.preprocess import normalize_clip
 from workoutdetector_tpu.parallel.mesh import (batch_sharding, create_mesh,
-                                               replicated_sharding, shard_batch)
+                                               replicated_sharding, shard_batch,
+                                               state_sharding)
 from workoutdetector_tpu.train.loggers import build_loggers
 from workoutdetector_tpu.train.optim import build_optimizer
 
@@ -95,8 +96,10 @@ class Trainer:
                            params=params,
                            batch_stats=batch_stats,
                            opt_state=self.tx.init(params))
-        # replicate across the mesh
-        return jax.device_put(state, replicated_sharding(self.mesh))
+        # Lay the state out over the mesh: big kernels (and their optimizer
+        # momentum) partition over the 'model' axis, small leaves replicate.
+        self._state_sharding = state_sharding(state, self.mesh)
+        return jax.device_put(state, self._state_sharding)
 
     # ------------------------------------------------------------------ #
     # compiled steps
@@ -130,10 +133,15 @@ class Trainer:
                                       opt_state=new_opt)
             return new_state, {"loss": loss, "acc": acc}
 
+        # out_shardings pins the new state to the same layout as the input
+        # state — without it XLA may propagate a 'model' sharding onto small
+        # leaves, breaking the eval step's declared in_shardings.
         return jax.jit(
             train_step,
-            in_shardings=(replicated_sharding(self.mesh),
+            in_shardings=(self._train_state_sharding(),
                           batch_sharding(self.mesh), batch_sharding(self.mesh)),
+            out_shardings=(self._train_state_sharding(),
+                           replicated_sharding(self.mesh)),
             donate_argnums=(0,))
 
     def _make_eval_step(self):
@@ -151,8 +159,13 @@ class Trainer:
 
         return jax.jit(
             eval_step,
-            in_shardings=(replicated_sharding(self.mesh),
+            in_shardings=(self._train_state_sharding(),
                           batch_sharding(self.mesh), batch_sharding(self.mesh)))
+
+    def _train_state_sharding(self):
+        # set by init_state; before that (shouldn't happen in normal flows)
+        # fall back to replicated so the step still compiles.
+        return getattr(self, "_state_sharding", replicated_sharding(self.mesh))
 
     def train_step_fn(self):
         if "train" not in self._step_fns:
