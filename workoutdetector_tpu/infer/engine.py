@@ -111,10 +111,10 @@ class InferenceEngine:
         return self.score_windows(images_u8)
 
     # ---------------- video scoring ---------------- #
-    def windows_for_video(self, total_frames: int, step: int = 8,
-                          window: int = 16, stride: int = 2) -> np.ndarray:
+    def windows_for_video(self, total_frames: int, step: int = 8) -> np.ndarray:
         """Window start indices: every ``step`` frames (reference
-        inference_count.py:411 ``range(0, len(vid), 8)``)."""
+        inference_count.py:411 ``range(0, len(vid), 8)``). The window
+        extent is ``num_segments * stride``, fixed by gather_windows."""
         return np.arange(0, max(total_frames, 1), step, dtype=np.int64)
 
     def gather_windows(self, video_u8: np.ndarray, starts: np.ndarray,

@@ -88,6 +88,13 @@ def count_by_image_model(engine: InferenceEngine,
     Matches reference count_by_image_model (:192-243): per-frame argmax →
     7-deep majority vote (≥4) → binary state per frame →
     pred_to_count(step=7). Frames are scored in large device batches.
+
+    ``threshold`` implements the reference's *documented* semantics
+    (:208 "scores below this threshold will be viewed as background"):
+    frames whose max softmax score < threshold become -1 and pred_to_count
+    skips them. (The reference documents but never applies it; at the
+    default 0.1 a binary softmax max is always ≥ 0.5, so behavior is
+    identical to the reference run.)
     """
     with VideoReader(video_path) as r:
         video = r.read_prepped(256, engine.image_size)
@@ -96,6 +103,11 @@ def count_by_image_model(engine: InferenceEngine,
     scores = engine.score_images(video)
     argmaxes = np.argmax(scores, axis=1)
     states = majority_vote_states(argmaxes, window=7)
+    if threshold > 0:
+        e = np.exp(scores - scores.max(axis=1, keepdims=True))
+        max_prob = (e / e.sum(axis=1, keepdims=True)).max(axis=1)
+        states = [-1 if p < threshold else s
+                  for s, p in zip(states, max_prob)]
     count, reps = pred_to_count(states, step=7)
     if pred_out_path is not None:
         d = {"video_path": video_path, "step": 1,
@@ -195,14 +207,21 @@ def eval_dataset(engine: InferenceEngine,
     helper = RepcountHelper(data_root, anno_path)
     items = helper.get_rep_data(split=[split], action=action)
     pred_dict: Dict[str, int] = {}
-    count_fn = count_by_video_model if model_type == "video" else \
-        count_by_image_model
     for name, item in items.items():
         out_path = None
         if save_video and output_dir is not None:
             out_path = os.path.join(output_dir, name)
-        count, _ = count_fn(engine, item.video_path, ground_truth=item.reps,
-                            video_out_path=out_path)
+        if model_type == "video":
+            count, _ = count_by_video_model(engine, item.video_path,
+                                            ground_truth=item.reps,
+                                            video_out_path=out_path)
+        else:
+            # threshold flows to the image counter only, matching the
+            # reference call shape (inference_count.py:488-493)
+            count, _ = count_by_image_model(engine, item.video_path,
+                                            ground_truth=item.reps,
+                                            video_out_path=out_path,
+                                            threshold=threshold)
         pred_dict[name] = count
     mae, obo_acc, eval_res = helper.eval_count(pred_dict, action=action,
                                                split=[split])

@@ -192,6 +192,10 @@ class ResNet(nn.Module):
     dtype: Any = jnp.float32
     partial_bn: bool = False
     block_input_hook: Optional[Callable] = None
+    # fn(x, stage_idx, block_idx) → x applied to the WHOLE block input —
+    # residual path included (reference 'block' shift place wraps the whole
+    # block module, tsm.py:114-123, so the identity path is shifted too)
+    block_pre_hook: Optional[Callable] = None
     stage_input_hook: Optional[Callable] = None  # fn(x, stage_idx) → x
     # fn(stage_idx, block_idx) → Optional[(n_segment, fold_div)]: fuse the
     # TSM shift into that block's conv1 (ShiftConv) instead of hooking
@@ -234,6 +238,8 @@ class ResNet(nn.Module):
                 shift = None
                 if self.block_shift_spec is not None:
                     shift = self.block_shift_spec(i, j)
+                if self.block_pre_hook is not None:
+                    x = self.block_pre_hook(x, stage_idx=i, block_idx=j)
                 x = block_cls(filters=filters,
                               strides=strides,
                               downsample=downsample,

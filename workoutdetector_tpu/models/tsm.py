@@ -100,10 +100,14 @@ class TSM(nn.Module):
         x = x.reshape(b * t, h, w, c).astype(self.dtype)
 
         hook = None
+        pre_hook = None
         shift_spec = None
         if self.is_shift and self.shift_place == "block":
-            # whole-block variant: shift the stage input once per block
-            def hook(y, stage_idx, block_idx):
+            # whole-block variant: the reference wraps the entire block
+            # module (tsm.py:114-123), so the shift feeds BOTH the residual
+            # branch and the identity path — a block pre-hook, not a
+            # residual-branch hook.
+            def pre_hook(y, stage_idx, block_idx):
                 return self._shift(y, self._seg_at_stage(stage_idx))
         elif self.is_shift and self.shift_place == "blockres" and \
                 self.shift_impl in ("xla", "pallas"):
@@ -127,6 +131,7 @@ class TSM(nn.Module):
                           dtype=self.dtype,
                           partial_bn=self.partial_bn,
                           block_input_hook=hook,
+                          block_pre_hook=pre_hook,
                           block_shift_spec=shift_spec,
                           stage_input_hook=self._stage_hook,
                           remat=self.remat,
