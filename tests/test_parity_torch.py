@@ -123,6 +123,7 @@ class TorchEngine(InferenceEngine):
         self.image_size = image_size
         self.input_rank = 5
         self.mesh = None
+        self.gather = "host"  # torch oracle scores host-gathered windows
 
     def score_windows(self, windows_u8: np.ndarray) -> np.ndarray:
         xn = _normalize_np(windows_u8)
