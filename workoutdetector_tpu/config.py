@@ -195,6 +195,11 @@ class SplitConfig(ConfigNode):
 @dataclass
 class DataConfig(ConfigNode):
     dataset_type: str = "FrameDataset"  # FrameDataset|ImageDataset|TDNDataset|DebugDataset
+    # person-crop detector backend: 'motion' (saliency heuristic) or
+    # 'learned' (models/detector.CenterNetDetector weights at
+    # person_checkpoint — the fasterrcnn-equivalent capability)
+    person_backend: str = "motion"
+    person_checkpoint: Optional[str] = None
     data_root: str = ""
     num_segments: int = 8
     num_frames: int = 5  # TDN burst length

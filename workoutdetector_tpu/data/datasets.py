@@ -253,8 +253,10 @@ def build_dataset(cfg: DataConfig, split: str):
     split_cfg = getattr(cfg, split)
     person_crop = None
     if split_cfg.person_crop:
-        from workoutdetector_tpu.data.person import PersonCrop
-        person_crop = PersonCrop()
+        from workoutdetector_tpu.data.person import Detector, PersonCrop
+        person_crop = PersonCrop(Detector(
+            backend=getattr(cfg, "person_backend", "motion"),
+            checkpoint=getattr(cfg, "person_checkpoint", None)))
     transform = build_transform(split, person_crop=person_crop,
                                 size=cfg.image_size, scale=cfg.scale_size)
     if cfg.dataset_type == "FrameDataset":

@@ -52,12 +52,28 @@ class Detector:
     """Per-frame person bounding boxes.
 
     Args:
-        backend: 'motion' (default) or a callable
+        backend: 'motion' (default), 'learned' (flax CenterNet, see
+            models/detector.py — the fasterrcnn-capability equivalent,
+            reference transform.py:128-223), or a callable
             (clip_u8 (T,H,W,3)) → list of (N_t, 4) box arrays.
+        checkpoint: weights path for the 'learned' backend
+            (LearnedDetectorBackend.save format).
     """
 
-    def __init__(self, backend: Union[str, Callable] = "motion"):
-        self._fn = _motion_boxes if backend == "motion" else backend
+    def __init__(self, backend: Union[str, Callable] = "motion",
+                 checkpoint: Optional[str] = None):
+        if backend == "motion":
+            self._fn: Callable = _motion_boxes
+        elif backend == "learned":
+            from workoutdetector_tpu.models.detector import \
+                LearnedDetectorBackend
+            if checkpoint is None:
+                raise ValueError(
+                    "backend='learned' needs a checkpoint path "
+                    "(train one with models.detector.train_detector)")
+            self._fn = LearnedDetectorBackend.load(checkpoint)
+        else:
+            self._fn = backend
 
     def detect(self, frames: np.ndarray, threshold: float = 0.0
                ) -> List[np.ndarray]:

@@ -207,7 +207,10 @@ class ResNet(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False, features_only: bool = False):
+    def __call__(self, x, train: bool = False, features_only: bool = False,
+                 spatial: bool = False):
+        """spatial=True returns the pre-pool (N, H/32, W/32, C) feature map
+        — the detection/pose heads' input (models/detector.py, pose)."""
         norm_stem = partial(FrozenAwareBatchNorm, momentum=self.bn_momentum,
                             epsilon=self.bn_eps, dtype=self.dtype, frozen=False)
         norm_body = partial(FrozenAwareBatchNorm, momentum=self.bn_momentum,
@@ -250,6 +253,8 @@ class ResNet(nn.Module):
                               train_attr=train,
                               name=f"layer{i + 1}_{j}")(x)
 
+        if spatial:
+            return x
         x = jnp.mean(x, axis=(1, 2))  # global average pool → (N, C)
         if features_only or self.num_classes == 0:
             return x

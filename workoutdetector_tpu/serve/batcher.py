@@ -39,9 +39,19 @@ class AsyncBatcher:
         self._task: Optional[asyncio.Task] = None
         self.n_flushes = 0
         self.n_requests = 0
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
 
     async def start(self) -> None:
+        loop = asyncio.get_running_loop()
+        if self._task is not None and self._loop is not loop:
+            # the server was restarted on a new event loop: the old
+            # collector (and its loop-bound queue) are dead — rebuild them
+            # or every score() would await a future nothing will resolve
+            self._task.cancel()
+            self._task = None
         if self._task is None:
+            self._loop = loop
+            self._queue = asyncio.Queue()
             self._task = asyncio.create_task(self._collector())
 
     async def stop(self) -> None:
