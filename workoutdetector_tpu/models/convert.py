@@ -325,6 +325,93 @@ def _unlayer(parts):
     return res
 
 
+def _convnext_key_to_flax(key: str) -> Optional[Tuple[Tuple[str, ...], str]]:
+    """Map one timm-ConvNeXt state-dict key to (flax_path, leaf_kind).
+
+    Accepts both timm-modern (conv_dw / mlp.fc1) and facebook-original
+    (dwconv / pwconv1) block naming. Returns None for keys to skip.
+    """
+    k = key
+    k = k.replace(".dwconv.", ".conv_dw.")
+    k = k.replace(".pwconv1.", ".mlp.fc1.")
+    k = k.replace(".pwconv2.", ".mlp.fc2.")
+    parts = k.split(".")
+    if parts[-1] == "num_batches_tracked":
+        return None
+    if parts[0] == "stem":
+        mod = "stem_conv" if parts[1] == "0" else "stem_norm"
+        return (mod, parts[-1]), ("conv" if mod == "stem_conv" else "norm")
+    if parts[0] == "stages":
+        i = parts[1]
+        if parts[2] == "downsample":
+            mod = f"down{i}_norm" if parts[3] == "0" else f"down{i}_conv"
+            kind = "norm" if parts[3] == "0" else "conv"
+            return (mod, parts[-1]), kind
+        if parts[2] == "blocks":
+            j = parts[3]
+            block = f"stage{i}_block{j}"
+            rest = parts[4:]
+            if rest == ["gamma"]:
+                return (block, "gamma"), "gamma"
+            if rest[0] == "conv_dw":
+                return (block, "conv_dw", rest[-1]), "conv"
+            if rest[0] == "norm":
+                return (block, "norm", rest[-1]), "norm"
+            if rest[:2] == ["mlp", "fc1"]:
+                return (block, "fc1", rest[-1]), "dense"
+            if rest[:2] == ["mlp", "fc2"]:
+                return (block, "fc2", rest[-1]), "dense"
+    if parts[0] == "head":
+        if parts[1] == "norm":
+            return ("head_norm", parts[-1]), "norm"
+        if parts[1] in ("fc", "head"):
+            return ("head", parts[-1]), "dense"
+    return None
+
+
+def port_convnext_checkpoint(state_dict: Mapping[str, Any],
+                             num_class: int,
+                             target_params: Optional[Any] = None,
+                             prefix: Tuple[str, ...] = ()
+                             ) -> Dict[str, Any]:
+    """Port a timm/facebook ConvNeXt checkpoint into the flax
+    models/convnext.ConvNeXt layout (the reference's image-path backbone,
+    train_img.py:44). Head weights whose output dim mismatches
+    ``num_class`` are dropped (strict=False analog)."""
+    sd = strip_ddp_prefix(dict(state_dict))
+    # timm lightning-style nesting: 'model.stem.0.weight'
+    sd = {(k[len("model."):] if k.startswith("model.") else k): v
+          for k, v in sd.items()}
+    head_w = sd.get("head.fc.weight", sd.get("head.weight"))
+    drop_head = head_w is not None and \
+        _to_numpy(head_w).shape[0] != num_class
+    params: Dict[Tuple[str, ...], np.ndarray] = {}
+    for k, v in sd.items():
+        m = _convnext_key_to_flax(k)
+        if m is None:
+            continue
+        path, kind = m
+        if drop_head and path[0] == "head":
+            continue
+        arr = _to_numpy(v)
+        leaf = path[-1]
+        if leaf == "weight":
+            if kind == "conv":  # OIHW → HWIO (depthwise: (C,1,7,7)→(7,7,1,C))
+                arr = np.transpose(arr, (2, 3, 1, 0))
+                leaf = "kernel"
+            elif kind == "dense":
+                arr = np.transpose(arr, (1, 0))
+                leaf = "kernel"
+            else:  # layernorm
+                leaf = "scale"
+        params[prefix + path[:-1] + (leaf,)] = arr
+    tree = {"params": traverse_util.unflatten_dict(params),
+            "batch_stats": {}}
+    if target_params is not None:
+        tree["params"] = merge_into(target_params, tree["params"])
+    return tree
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     """Load a .pth/.ckpt file → raw state dict (handles the 'state_dict'
     nesting both torch-lightning and mmcv use)."""

@@ -46,9 +46,11 @@ def build_model(cfg: ModelConfig) -> nn.Module:
                    dropout=cfg.dropout,
                    dtype=dtype)
     if mt == "image":
-        # image-classifier path (reference train_img.py timm backbones →
-        # our ResNet zoo; other backbones plug in here)
-        if cfg.base_model not in STAGE_SIZES:
+        # image-classifier path (reference train_img.py:44 defaults to
+        # timm convnext_base): ConvNeXt zoo + ResNet zoo
+        from workoutdetector_tpu.models.convnext import CONVNEXT_VARIANTS
+        if cfg.base_model not in STAGE_SIZES and \
+                cfg.base_model not in CONVNEXT_VARIANTS:
             raise KeyError(f"Unknown image backbone '{cfg.base_model}'")
         return ImageClassifier(base_model=cfg.base_model,
                                num_class=cfg.num_class,
@@ -69,6 +71,16 @@ class ImageClassifier(nn.Module):
         if x.ndim == 5:
             assert x.shape[1] == 1, f"expected single-frame clips, got {x.shape}"
             x = x[:, 0]
+        if self.base_model.startswith("convnext"):
+            from workoutdetector_tpu.models.convnext import (
+                CONVNEXT_VARIANTS, ConvNeXt)
+            depths, dims = CONVNEXT_VARIANTS[self.base_model]
+            # port checkpoints with port_convnext_checkpoint(
+            #     sd, n, prefix=("backbone_img",))
+            net = ConvNeXt(depths=depths, dims=dims,
+                           num_classes=self.num_class, dtype=self.dtype,
+                           name="backbone_img")
+            return net(x, train=train).astype(jnp.float32)
         net = _make(self.base_model, num_classes=self.num_class,
                     dtype=self.dtype, name="backbone_img")
         return net(x, train=train).astype(jnp.float32)

@@ -80,7 +80,9 @@ class Trainer:
         x = example_input(self.cfg.model, batch=1, image_size=image_size)
         variables = self.model.init({"params": self.rng}, x, train=False)
         params = variables["params"]
-        batch_stats = variables.get("batch_stats", FrozenDict())
+        # plain dict (not FrozenDict) so BN-free models (ConvNeXt) produce
+        # the same pytree structure the traced step returns
+        batch_stats = dict(variables.get("batch_stats", {}))
         self.tx, self.schedule = build_optimizer(self.cfg.optimizer,
                                                  self.cfg.lr_scheduler,
                                                  params,
