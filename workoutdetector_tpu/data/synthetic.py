@@ -90,3 +90,59 @@ def iou(a: np.ndarray, b: np.ndarray) -> float:
     area = ((a[2] - a[0]) * (a[3] - a[1]) +
             (b[2] - b[0]) * (b[3] - b[1]) - inter)
     return float(inter / area) if area > 0 else 0.0
+
+
+# ----------------------------------------------------------- pose fixtures
+
+# COCO-17 canonical joint offsets within a unit body box (x, y), roughly
+# anatomical: nose, eyes, ears, shoulders, elbows, wrists, hips, knees,
+# ankles — enough geometric structure for a pose model to learn.
+_COCO_UNIT = np.asarray([
+    (0.50, 0.08), (0.46, 0.05), (0.54, 0.05), (0.40, 0.08), (0.60, 0.08),
+    (0.32, 0.25), (0.68, 0.25), (0.22, 0.42), (0.78, 0.42),
+    (0.18, 0.58), (0.82, 0.58), (0.40, 0.55), (0.60, 0.55),
+    (0.38, 0.75), (0.62, 0.75), (0.36, 0.95), (0.64, 0.95),
+], np.float32)
+
+# distinct per-joint colors (a learnable appearance cue)
+_JOINT_COLORS = ((np.arange(17)[:, None] * np.asarray([53, 97, 31]) + 60)
+                 % 200 + 55).astype(np.uint8)
+
+
+def pose_scene(rng: np.random.Generator, size: int = 128, t: int = 1,
+               jitter: float = 0.02) -> Tuple[np.ndarray, np.ndarray]:
+    """A stick figure with known COCO-17 keypoints.
+
+    Returns:
+        clip (t, size, size, 3) uint8, keypoints (t, 17, 2) float pixels.
+    """
+    bh = rng.uniform(0.55, 0.8) * size
+    bw = bh * rng.uniform(0.4, 0.6)
+    x0 = rng.uniform(0.05 * size, size - bw - 0.05 * size)
+    y0 = rng.uniform(0.05 * size, size - bh - 0.05 * size)
+    bg = _background(rng, size)
+    r = max(2, int(size * 0.02))
+    frames, kps_all = [], []
+    for _ in range(t):
+        f = bg.copy()
+        kps = _COCO_UNIT + rng.normal(0, jitter, _COCO_UNIT.shape)
+        kps = np.stack([x0 + kps[:, 0] * bw, y0 + kps[:, 1] * bh], axis=-1)
+        yy, xx = np.mgrid[0:size, 0:size]
+        for k, (kx, ky) in enumerate(kps):
+            mask = (yy - ky) ** 2 + (xx - kx) ** 2 <= r ** 2
+            f[mask] = _JOINT_COLORS[k]
+        frames.append(f)
+        kps_all.append(kps)
+    return np.stack(frames), np.stack(kps_all).astype(np.float32)
+
+
+def pose_dataset(n: int, size: int = 128, seed: int = 0
+                 ) -> Tuple[np.ndarray, List[np.ndarray]]:
+    """(N, size, size, 3) frames + per-image (17, 2) keypoints."""
+    rng = np.random.default_rng(seed)
+    imgs, kps = [], []
+    for _ in range(n):
+        clip, k = pose_scene(rng, size=size, t=1)
+        imgs.append(clip[0])
+        kps.append(k[0])
+    return np.stack(imgs), kps
