@@ -198,7 +198,11 @@ def eval_dataset(engine: InferenceEngine,
                  threshold: float = 0.7) -> Tuple[float, float]:
     """Per-video counting over a split → helper.eval_count MAE/OBO + CSV.
 
-    Matches reference eval_dataset (:424-512).
+    Matches reference eval_dataset (:424-512). ``threshold`` flows to the
+    image counter with the reference's *documented* below-threshold →
+    background semantics (the reference's own code accepts but ignores
+    it, :197-243); pass threshold=0 to reproduce the reference's actual
+    behavior bit-for-bit.
     """
     if anno_path is None:
         anno_path = os.path.join(data_root, "annotation.csv")
