@@ -166,20 +166,15 @@ class InferenceEngine:
 
         return run
 
-    def _score_video_device(self, video_u8: np.ndarray, starts: np.ndarray,
-                            stride: int) -> np.ndarray:
-        """North-star scoring path: the whole video crosses PCIe ONCE as
-        uint8; the per-window sparse gather + normalize + model run as one
-        fused device program (VERDICT r1 weak #9 — no Python copy loop).
+    def stage_video(self, video_u8: np.ndarray) -> Tuple[Any, int, int]:
+        """Pad a decoded video to a _T_BUCKET multiple and start its H2D
+        transfer (async). Call from a decode worker thread so the uint8
+        copy overlaps the previous video's device compute — H2D is the
+        binding resource on thin links (measured 2026-08-16: ~1.5 s per
+        55 MB video over the dev tunnel vs 30 ms of compute).
 
-        Video length is zero-padded up to a _T_BUCKET multiple and starts
-        to a window_batch multiple, so compiles are shared across videos
-        (one program per (bucket, n_start_chunks≡1) pair). Windows that
-        read into the pad see zeros — exactly the reference's tail
-        semantics (inference_count.py:412-414).
+        Returns (device_array, true_length, bucket).
         """
-        if self._video_fn is None:
-            self._video_fn = self._build_video_fn()
         t = video_u8.shape[0]
         bucket = max(self._T_BUCKET,
                      -(-t // self._T_BUCKET) * self._T_BUCKET)
@@ -187,7 +182,18 @@ class InferenceEngine:
             video_u8 = np.concatenate(
                 [video_u8, np.zeros((bucket - t,) + video_u8.shape[1:],
                                     video_u8.dtype)])
-        vid_dev = jax.device_put(jnp.asarray(video_u8))
+        return jax.device_put(video_u8), t, bucket
+
+    def score_staged(self, staged: Tuple[Any, int, int], starts: np.ndarray,
+                     stride: int = 2) -> np.ndarray:
+        """Score a stage_video()-prepared video: per-window sparse gather +
+        normalize + model as one fused device program (VERDICT r1 weak #9
+        — no Python copy loop). Compiles are shared across videos (one
+        program per bucket size); windows reading into the pad see zeros —
+        the reference's tail semantics (inference_count.py:412-414)."""
+        if self._video_fn is None:
+            self._video_fn = self._build_video_fn()
+        vid_dev, _, bucket = staged
         n = len(starts)
         wb = self.window_batch
         outs: List[np.ndarray] = []
@@ -200,6 +206,10 @@ class InferenceEngine:
             logits = self._video_fn(vid_dev, jnp.asarray(chunk), stride)
             outs.append(np.asarray(logits[:wb - pad if pad else wb]))
         return np.concatenate(outs) if outs else np.zeros((0,), np.float32)
+
+    def _score_video_device(self, video_u8: np.ndarray, starts: np.ndarray,
+                            stride: int) -> np.ndarray:
+        return self.score_staged(self.stage_video(video_u8), starts, stride)
 
     def score_clip(self, clip_u8: np.ndarray) -> np.ndarray:
         """Score one (T, H, W, C) window → (num_class,) logits."""

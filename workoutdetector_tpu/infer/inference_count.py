@@ -128,7 +128,8 @@ def inference_dataset(engine: InferenceEngine,
                       data_root: Optional[str] = None,
                       anno_path: Optional[str] = None,
                       step: int = 8,
-                      stride: int = 2) -> None:
+                      stride: int = 2,
+                      decode_workers: int = 2) -> None:
     """Score every RepCount video → per-video ``.score.json``.
 
     JSON schema matches reference inference_dataset (:351-421):
@@ -144,29 +145,44 @@ def inference_dataset(engine: InferenceEngine,
     helper = RepcountHelper(data_root, anno_path)
     data = helper.get_rep_data(splits, action=["all"])
 
+    device_gather = engine.gather == "device" and engine.input_rank == 5 \
+        and engine.mesh is None
+
     def decode(it):
         with VideoReader(it.video_path) as r:
-            return r.read_prepped(256, engine.image_size)
+            video = r.read_prepped(256, engine.image_size)
+        if device_gather:
+            # stage the H2D copy from the worker thread too: the uint8
+            # transfer of video k+1 overlaps video k's device compute
+            # (H2D binds on thin links — see engine.stage_video)
+            return engine.stage_video(video), len(video)
+        return video, len(video)
 
-    # double-buffered host decode: video k+1 decodes on a worker thread
-    # while the device scores video k (the north-star overlap, SURVEY §7
-    # step 4 / hard-part 4)
+    # pipelined host decode (+H2D staging): the next videos decode on
+    # worker threads while the device scores video k (the north-star
+    # overlap, SURVEY §7 step 4 / hard-part 4)
     from concurrent.futures import ThreadPoolExecutor
     items = list(data.values())
     if not items:
         return
-    with ThreadPoolExecutor(1) as pool:
-        next_future = pool.submit(decode, items[0])
+    workers = max(1, decode_workers)
+    with ThreadPoolExecutor(workers) as pool:
+        futures = [pool.submit(decode, it) for it in items[:workers]]
         for k, item in enumerate(items):
-            video = next_future.result()
-            if k + 1 < len(items):
-                next_future = pool.submit(decode, items[k + 1])
-            starts, logits = engine.score_video(video, step=step, stride=stride)
-            _write_score_json(engine, item, video, starts, logits, checkpoint,
-                              out_dir)
+            payload, n_frames = futures.pop(0).result()
+            if k + workers < len(items):
+                futures.append(pool.submit(decode, items[k + workers]))
+            starts = engine.windows_for_video(n_frames, step=step)
+            if device_gather:
+                logits = engine.score_staged(payload, starts, stride=stride)
+            else:
+                windows = engine.gather_windows(payload, starts, stride=stride)
+                logits = engine.score_windows(windows)
+            _write_score_json(engine, item, n_frames, starts, logits,
+                              checkpoint, out_dir)
 
 
-def _write_score_json(engine, item, video, starts, logits, checkpoint,
+def _write_score_json(engine, item, total_frames, starts, logits, checkpoint,
                       out_dir) -> None:
     scores: Dict[int, Dict[int, float]] = {
         int(s): {int(c): float(v) for c, v in enumerate(l)}
@@ -177,7 +193,7 @@ def _write_score_json(engine, item, video, starts, logits, checkpoint,
                input_shape=[1, engine.num_segments, 3, engine.image_size,
                             engine.image_size],
                checkpoint=checkpoint,
-               total_frames=int(len(video)),
+               total_frames=int(total_frames),
                ground_truth=item.reps,
                action=item.class_,
                scores=scores)

@@ -64,7 +64,7 @@ class CenterNetDetector(nn.Module):
         if self.backbone == "tiny":
             feat = TinyFCN(dtype=self.dtype, name="backbone")(x, train=train)
         else:
-            from workoutdetector_tpu.models.resnet import STAGE_SIZES, _make
+            from workoutdetector_tpu.models.resnet import _make
             net = _make(self.backbone, num_classes=0, dtype=self.dtype,
                         name="backbone")
             feat = net(x, train=train, spatial=True)
