@@ -129,3 +129,24 @@ def test_convnext_converges_on_debug_dataset(tmp_path):
     cfg.callbacks.early_stopping.enable = False
     history = train(cfg)
     assert history["test/acc"] > 0.5, history
+
+
+def test_convnext_export_roundtrip(tmp_path):
+    """The .jaxm export path (ONNX replacement) covers the new image
+    family too: export → load → identical logits."""
+    import jax
+    import jax.numpy as jnp
+
+    from workoutdetector_tpu.utils.export import export_model, load_exported
+
+    model = ConvNeXt(num_classes=4, **TINY)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3)))
+    path = export_model(model, v, str(tmp_path / "cx"),
+                        input_shape=(2, SIZE, SIZE, 3))
+    loaded = load_exported(path)
+    x = np.random.default_rng(0).integers(0, 256, (2, SIZE, SIZE, 3),
+                                          dtype=np.uint8)
+    from workoutdetector_tpu.ops.preprocess import normalize_clip
+    want = model.apply(v, normalize_clip(jnp.asarray(x)))
+    got = loaded(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
