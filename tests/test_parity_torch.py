@@ -182,3 +182,51 @@ def test_score_json_parity_end_to_end(tmp_path):
     assert res["mean_argmax_agreement"] == 1.0, res
     assert res["count_agreement"] == 1.0, res
     assert res["mean_count_diff"] == 0.0, res
+
+
+def test_tsm_gradient_parity():
+    """Beyond logits: ONE training step's loss and gradients match torch
+    through the whole TSM (train-mode BN with batch statistics, shift
+    backward, consensus). Guards the backward pass the trainer runs."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    tmodel, fmodel, variables = _build_pair("resnet18", num_class=3,
+                                            num_segments=4, seed=2)
+    # partial-BN freezes most stats updates in OUR model; disable for the
+    # comparison so both sides run full train-mode BN
+    fmodel = TSM(num_class=3, num_segments=4, base_model="resnet18",
+                 dropout=0.0, partial_bn=False)
+    tmodel.train()
+
+    rng = np.random.default_rng(4)
+    x = rng.integers(0, 256, (4, 4, SIZE, SIZE, 3), dtype=np.uint8)
+    y = np.asarray([0, 1, 2, 1], np.int64)
+    xn = _normalize_np(x)
+
+    # --- torch side ---
+    xt = torch.from_numpy(np.transpose(xn, (0, 1, 4, 2, 3)).copy())
+    xt.requires_grad_(False)
+    logits_t = tmodel(xt)
+    loss_t = torch.nn.functional.cross_entropy(logits_t,
+                                               torch.from_numpy(y))
+    loss_t.backward()
+    g_conv1_t = tmodel.base_model.conv1.weight.grad.numpy()
+    g_fc_t = tmodel.new_fc.weight.grad.numpy()
+
+    # --- jax side ---
+    def loss_fn(params):
+        out, _ = fmodel.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            jnp.asarray(xn), train=True, mutable=["batch_stats"])
+        return optax.softmax_cross_entropy_with_integer_labels(
+            out, jnp.asarray(y)).mean()
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+    g_conv1_j = np.transpose(
+        np.asarray(grads["backbone"]["conv1"]["kernel"]), (3, 2, 0, 1))
+    np.testing.assert_allclose(g_conv1_j, g_conv1_t, atol=2e-4, rtol=1e-3)
+    g_fc_j = np.transpose(np.asarray(grads["fc"]["kernel"]), (1, 0))
+    np.testing.assert_allclose(g_fc_j, g_fc_t, atol=2e-4, rtol=1e-3)
