@@ -230,3 +230,29 @@ def test_tsm_gradient_parity():
     np.testing.assert_allclose(g_conv1_j, g_conv1_t, atol=2e-4, rtol=1e-3)
     g_fc_j = np.transpose(np.asarray(grads["fc"]["kernel"]), (1, 0))
     np.testing.assert_allclose(g_fc_j, g_fc_t, atol=2e-4, rtol=1e-3)
+
+
+def test_tsm_temporal_pool_parity():
+    """temporal_pool=True path: the oracle's TemporalPool wrapping + the
+    half-T shift segments must match our stage-hook pooling exactly."""
+    import jax.numpy as jnp
+
+    torch.manual_seed(3)
+    tmodel = TorchTSM(num_class=4, num_segments=4, base_model="resnet18",
+                      dropout=0.0, temporal_pool=True).eval()
+    _randomize_bn(tmodel, 3)
+
+    import jax
+    fmodel = TSM(num_class=4, num_segments=4, base_model="resnet18",
+                 dropout=0.0, temporal_pool=True, dtype=jnp.float32)
+    init = fmodel.init({"params": jax.random.PRNGKey(0)},
+                       jnp.zeros((1, 4, SIZE, SIZE, 3)), train=False)
+    tree = port_tsm_checkpoint(tmodel.state_dict(), num_class=4,
+                               target_params=init["params"])
+    variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+
+    rng = np.random.default_rng(6)
+    x = rng.integers(0, 256, (2, 4, SIZE, SIZE, 3), dtype=np.uint8)
+    t_out, f_out = _both_logits(tmodel, fmodel, variables, x)
+    assert t_out.shape == f_out.shape == (2, 4)
+    np.testing.assert_allclose(f_out, t_out, atol=1e-4, rtol=1e-4)

@@ -40,6 +40,26 @@ def shift_clip(x: torch.Tensor, n_segment: int, fold_div: int = 8) -> torch.Tens
     return out.view(bt, c, h, w)
 
 
+class TemporalPoolWrap(nn.Module):
+    """max-pool time in front of a stage (reference TemporalPool,
+    tsm.py:83-101): window 3, stride 2, pad 1 over T. Registers the stage
+    as ``net`` (key surgery strips '.net.')."""
+
+    def __init__(self, net: nn.Module, n_segment: int):
+        super().__init__()
+        self.net = net
+        self.n_segment = n_segment
+
+    def forward(self, x):
+        nt, c, h, w = x.shape
+        v = x.view(nt // self.n_segment, self.n_segment, c, h, w)
+        v = v.transpose(1, 2)
+        v = torch.nn.functional.max_pool3d(v, (3, 1, 1), (2, 1, 1),
+                                           (1, 0, 0))
+        v = v.transpose(1, 2).reshape(nt // 2, c, h, w)
+        return self.net(v)
+
+
 class ShiftWrap(nn.Module):
     """Shift-then-conv wrapper; registers the conv as ``net`` so state-dict
     keys gain the '.net.' segment the port tool strips (reference
@@ -147,15 +167,20 @@ class TorchTSM(nn.Module):
     def __init__(self, num_class: int, num_segments: int = 8,
                  base_model: str = "resnet50", shift_div: int = 8,
                  shift_place: str = "blockres", dropout: float = 0.0,
-                 consensus_type: str = "avg"):
+                 consensus_type: str = "avg", temporal_pool: bool = False):
         super().__init__()
         self.num_segments = num_segments
         self.consensus_type = consensus_type
+        self.temporal_pool = temporal_pool
         self.base_model = TorchResNet(base_model, num_classes=0)
         self.dropout = nn.Dropout(dropout)
         self.new_fc = nn.Linear(self.base_model.out_features, num_class)
         nn.init.normal_(self.new_fc.weight, std=0.001)
         nn.init.zeros_(self.new_fc.bias)
+        # segments alive per stage: T halves after stage 1 when pooling
+        # (reference make_temporal_shift n_segment_list, tsm.py:109-112)
+        segs = [num_segments] + [num_segments // 2 if temporal_pool else
+                                 num_segments] * 3
         if shift_place == "blockres":
             # shift in front of conv1 of each residual branch; every other
             # block when stage 3 has ≥23 blocks (reference tsm.py:125-137)
@@ -164,15 +189,20 @@ class TorchTSM(nn.Module):
                 stage = getattr(self.base_model, f"layer{i + 1}")
                 for j, blk in enumerate(stage):
                     if j % n_round == 0:
-                        blk.conv1 = ShiftWrap(blk.conv1, num_segments, shift_div)
+                        blk.conv1 = ShiftWrap(blk.conv1, segs[i], shift_div)
         elif shift_place == "block":
             for i in range(4):
                 stage = getattr(self.base_model, f"layer{i + 1}")
                 wrapped = nn.Sequential(*[
-                    ShiftWrap(blk, num_segments, shift_div) for blk in stage])
+                    ShiftWrap(blk, segs[i], shift_div) for blk in stage])
                 setattr(self.base_model, f"layer{i + 1}", wrapped)
         else:
             raise ValueError(shift_place)
+        if temporal_pool:
+            # pool in front of stage 2 (reference make_temporal_pool,
+            # tsm.py:142-148)
+            self.base_model.layer2 = TemporalPoolWrap(
+                self.base_model.layer2, num_segments)
 
     def forward(self, x: torch.Tensor) -> torch.Tensor:
         """x: (B, T, C, H, W) normalized float → (B, num_class)."""
@@ -180,7 +210,8 @@ class TorchTSM(nn.Module):
         assert t == self.num_segments
         feat = self.base_model(x.reshape(b * t, c, h, w))
         logits = self.new_fc(self.dropout(feat))
-        logits = logits.view(b, t, -1)
+        t_out = t // 2 if self.temporal_pool else t
+        logits = logits.view(b, t_out, -1)
         if self.consensus_type == "avg":
             logits = logits.mean(dim=1)
         return logits
