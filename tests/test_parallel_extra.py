@@ -192,3 +192,28 @@ def test_param_spec_rules():
     assert param_spec((), mesh) == P()
     # model axis of 1 → always replicated
     assert param_spec((512, 12), create_mesh(model=1)) == P()
+
+
+def test_engine_model_axis_sharding_matches_replicated():
+    """(4,2)-mesh serving: large kernels hold half per device (real model
+    axis in the engine too) and logits match the unsharded engine."""
+    import jax.numpy as jnp
+    from workoutdetector_tpu.models import TSM
+
+    model = TSM(num_class=3, num_segments=4, base_model="resnet18",
+                dropout=0.0, dtype=jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 4, SMALL, SMALL, 3)), train=False)
+    mesh = create_mesh(model=2)
+    eng = InferenceEngine(model, variables, num_segments=4, window_batch=8,
+                          image_size=SMALL, mesh=mesh)
+    sharded = [p for p in jax.tree_util.tree_leaves(eng.variables["params"])
+               if hasattr(p, "sharding") and not p.sharding.is_fully_replicated]
+    assert sharded, "engine params not partitioned over the model axis"
+
+    plain = InferenceEngine(model, variables, num_segments=4, window_batch=8,
+                            image_size=SMALL)
+    x = np.random.default_rng(0).integers(0, 256, (10, 4, SMALL, SMALL, 3),
+                                          dtype=np.uint8)
+    np.testing.assert_allclose(eng.score_windows(x), plain.score_windows(x),
+                               atol=1e-4, rtol=1e-4)

@@ -70,7 +70,16 @@ class InferenceEngine:
         self._video_fn = None  # lazily-built fused gather+normalize+model
 
     def _build(self):
-        model, variables = self.model, self.variables
+        model = self.model
+        if self.mesh is not None:
+            # multi-chip serving: partition large kernels over the 'model'
+            # axis (same shape-based rules as training,
+            # parallel.mesh.param_spec) so a (data, model) mesh holds
+            # 1/model of the weights per chip
+            from workoutdetector_tpu.parallel.mesh import state_sharding
+            self.variables = jax.device_put(
+                self.variables, state_sharding(self.variables, self.mesh))
+        variables = self.variables
 
         def run(x_u8: jnp.ndarray) -> jnp.ndarray:
             x = normalize_clip(x_u8)
@@ -78,8 +87,8 @@ class InferenceEngine:
 
         if self.mesh is None:
             return jax.jit(run)
-        # multi-chip serving: shard the window batch over the mesh's data
-        # axis — each chip scores window_batch / n windows per step
+        # shard the window batch over the mesh's data axis — each chip
+        # scores window_batch / n windows per step
         from workoutdetector_tpu.parallel.mesh import batch_sharding
         sharding = batch_sharding(self.mesh)
         jitted = jax.jit(run, in_shardings=(sharding,), out_shardings=sharding)
