@@ -146,8 +146,12 @@ class OptimizerConfig(ConfigNode):
     method: str = "sgd"  # sgd | adamw
     lr: float = 0.005
     momentum: float = 0.9
+    nesterov: bool = False  # reference timesformer/tpn configs use nesterov
     weight_decay: float = 5.0e-4
     eps: float = 1.0e-8
+    # global-norm gradient clip; 0 = off (reference mmaction
+    # optimizer_config grad_clip max_norm, timesformer config :102)
+    grad_clip: float = 0.0
     use_tsn_policies: bool = True  # per-group lr/decay multipliers
 
 
@@ -164,7 +168,7 @@ class LRSchedulerConfig(ConfigNode):
 
 @dataclass
 class ModelConfig(ConfigNode):
-    model_type: str = "tsm"  # tsm | tdn | image
+    model_type: str = "tsm"  # tsm | tdn | tpn | timesformer | image
     num_class: int = 12
     num_segments: int = 8
     num_frames: int = 1  # TDN: frames per segment (5)
@@ -178,7 +182,19 @@ class ModelConfig(ConfigNode):
     dropout: float = 0.5
     temporal_pool: bool = False
     non_local: bool = False
+    # TPN (reference configs/tpn.py): aux classification-head CE weight
+    aux_loss_weight: float = 0.5
     checkpoint: Optional[str] = None
+    # TimeSformer (reference configs/timesformer_div_8x4x1_k400.py:5-23;
+    # base_model selects the ViT variant, e.g. vit_base_patch16_224)
+    image_size: int = 224
+    patch_size: int = 16
+    embed_dims: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    attention_type: str = "divided_space_time"
+    drop_path_rate: float = 0.0
     # TPU specifics
     dtype: str = "bfloat16"  # compute dtype; params stay fp32
     shift_impl: str = "xla"  # xla | pallas

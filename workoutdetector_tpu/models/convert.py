@@ -412,6 +412,141 @@ def port_convnext_checkpoint(state_dict: Mapping[str, Any],
     return tree
 
 
+# --------------------------------------------------------------------- #
+# TimeSformer (reference configs/timesformer_div_8x4x1_k400.py)
+# --------------------------------------------------------------------- #
+
+def _timesformer_normalize_key(key: str) -> Optional[str]:
+    """Rewrite an mmaction-TimeSformer key (the layout of the checkpoint the
+    reference config loads, configs/timesformer_div_8x4x1_k400.py:10-11)
+    into the HuggingFace layout, which :func:`_timesformer_key_to_flax`
+    consumes. HF keys pass through unchanged."""
+    k = key
+    if k.startswith("backbone.") or k.startswith("cls_head."):
+        # mmaction layout → HF layout
+        k = k.replace("backbone.cls_token", "timesformer.embeddings.cls_token")
+        k = k.replace("backbone.pos_embed",
+                      "timesformer.embeddings.position_embeddings")
+        k = k.replace("backbone.time_embed",
+                      "timesformer.embeddings.time_embeddings")
+        k = k.replace("backbone.patch_embed.projection",
+                      "timesformer.embeddings.patch_embeddings.projection")
+        k = k.replace("backbone.norm.", "timesformer.layernorm.")
+        k = k.replace("cls_head.fc_cls", "classifier")
+        m = re.match(r"backbone\.transformer_layers\.layers\.(\d+)\.(.*)", k)
+        if m:
+            i, rest = m.group(1), m.group(2)
+            rest = rest.replace("attentions.0.norm", "temporal_layernorm")
+            rest = rest.replace("attentions.0.attn.in_proj_weight",
+                                "temporal_attention.attention.qkv.weight")
+            rest = rest.replace("attentions.0.attn.in_proj_bias",
+                                "temporal_attention.attention.qkv.bias")
+            rest = rest.replace("attentions.0.attn.out_proj",
+                                "temporal_attention.output.dense")
+            rest = rest.replace("attentions.0.temporal_fc", "temporal_dense")
+            rest = rest.replace("attentions.1.norm", "layernorm_before")
+            rest = rest.replace("attentions.1.attn.in_proj_weight",
+                                "attention.attention.qkv.weight")
+            rest = rest.replace("attentions.1.attn.in_proj_bias",
+                                "attention.attention.qkv.bias")
+            rest = rest.replace("attentions.1.attn.out_proj",
+                                "attention.output.dense")
+            rest = rest.replace("ffns.0.norm", "layernorm_after")
+            rest = rest.replace("ffns.0.layers.0.0", "intermediate.dense")
+            rest = rest.replace("ffns.0.layers.1", "output.dense")
+            k = f"timesformer.encoder.layer.{i}.{rest}"
+    return k
+
+
+def _timesformer_key_to_flax(key: str) -> Optional[Tuple[Tuple[str, ...], str]]:
+    """Map one HF-layout TimeSformer key to (flax_path, leaf_kind)."""
+    parts = key.split(".")
+    if parts[0] == "classifier":
+        return ("fc", parts[-1]), "dense"
+    if parts[0] != "timesformer":
+        return None
+    if parts[1] == "layernorm":
+        return ("norm", parts[-1]), "norm"
+    if parts[1] == "embeddings":
+        if parts[2] == "cls_token":
+            return ("cls_token",), "embed"
+        if parts[2] == "position_embeddings":
+            return ("pos_embed",), "embed"
+        if parts[2] == "time_embeddings":
+            return ("time_embed",), "embed"
+        if parts[2] == "patch_embeddings":
+            return ("patch_embed", parts[-1]), "conv"
+        return None
+    if parts[1] == "encoder" and parts[2] == "layer":
+        block = f"block_{parts[3]}"
+        rest = parts[4:]
+        table = {
+            ("temporal_layernorm",): (("t_norm",), "norm"),
+            ("temporal_attention", "attention", "qkv"):
+                (("t_attn", "qkv"), "dense"),
+            ("temporal_attention", "output", "dense"):
+                (("t_attn", "proj"), "dense"),
+            ("temporal_dense",): (("t_fc",), "dense"),
+            ("layernorm_before",): (("s_norm",), "norm"),
+            ("attention", "attention", "qkv"): (("s_attn", "qkv"), "dense"),
+            ("attention", "output", "dense"): (("s_attn", "proj"), "dense"),
+            ("layernorm_after",): (("mlp_norm",), "norm"),
+            ("intermediate", "dense"): (("mlp", "fc1"), "dense"),
+            ("output", "dense"): (("mlp", "fc2"), "dense"),
+        }
+        hit = table.get(tuple(rest[:-1]))
+        if hit is None:
+            return None
+        path, kind = hit
+        return (block,) + path + (rest[-1],), kind
+    return None
+
+
+def port_timesformer_checkpoint(state_dict: Mapping[str, Any],
+                                num_class: int,
+                                target_params: Optional[Any] = None
+                                ) -> Dict[str, Any]:
+    """Port a TimeSformer checkpoint into the flax models/timesformer
+    layout. Accepts both the mmaction key layout (what the reference
+    config's pretrained URL ships, configs/timesformer_div_8x4x1_k400.py)
+    and the HuggingFace ``TimesformerForVideoClassification`` layout.
+    Head weights whose output dim mismatches ``num_class`` are dropped
+    (the reference's strict=False analog)."""
+    sd = strip_ddp_prefix(dict(state_dict))
+    sd = {_timesformer_normalize_key(k): v for k, v in sd.items()}
+    head_w = sd.get("classifier.weight")
+    drop_head = head_w is not None and \
+        _to_numpy(head_w).shape[0] != num_class
+    params: Dict[Tuple[str, ...], np.ndarray] = {}
+    for k, v in sd.items():
+        m = _timesformer_key_to_flax(k)
+        if m is None:
+            continue
+        path, kind = m
+        if drop_head and path[0] == "fc":
+            continue
+        arr = _to_numpy(v)
+        leaf = path[-1]
+        if leaf == "weight":
+            if kind == "conv":  # OIHW → HWIO
+                arr = np.transpose(arr, (2, 3, 1, 0))
+                leaf = "kernel"
+            elif kind == "dense":  # (out,in) → (in,out)
+                arr = np.transpose(arr, (1, 0))
+                leaf = "kernel"
+            else:  # layernorm
+                leaf = "scale"
+        if kind == "embed":
+            params[path] = arr
+        else:
+            params[path[:-1] + (leaf,)] = arr
+    tree = {"params": traverse_util.unflatten_dict(params),
+            "batch_stats": {}}
+    if target_params is not None:
+        tree["params"] = merge_into(target_params, tree["params"])
+    return tree
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     """Load a .pth/.ckpt file → raw state dict (handles the 'state_dict'
     nesting both torch-lightning and mmcv use)."""

@@ -45,6 +45,36 @@ def build_model(cfg: ModelConfig) -> nn.Module:
                    consensus_type=cfg.consensus_type,
                    dropout=cfg.dropout,
                    dtype=dtype)
+    if mt == "tpn":
+        # reference configs/tpn.py: ResNetTSM backbone (out_indices (2,3),
+        # shift_div 8) + TPN neck + TPNHead, trained via train.py
+        from workoutdetector_tpu.models.tpn import TPN
+        return TPN(num_class=cfg.num_class,
+                   num_segments=cfg.num_segments,
+                   base_model=cfg.base_model,
+                   is_shift=cfg.is_shift,
+                   shift_div=cfg.shift_div,
+                   dropout=cfg.dropout,
+                   dtype=dtype)
+    if mt == "timesformer":
+        # reference configs/timesformer_div_8x4x1_k400.py:5-23 (mmaction
+        # TimeSformer backbone + TimeSformerHead, trained via train.py)
+        from workoutdetector_tpu.models.timesformer import (TimeSformer,
+                                                            VIT_VARIANTS)
+        embed, depth, heads = VIT_VARIANTS.get(
+            cfg.base_model, (cfg.embed_dims, cfg.num_layers, cfg.num_heads))
+        return TimeSformer(num_class=cfg.num_class,
+                           num_segments=cfg.num_segments,
+                           image_size=cfg.image_size,
+                           patch_size=cfg.patch_size,
+                           embed_dims=embed,
+                           num_layers=depth,
+                           num_heads=heads,
+                           mlp_ratio=cfg.mlp_ratio,
+                           attention_type=cfg.attention_type,
+                           dropout=cfg.dropout,
+                           drop_path_rate=cfg.drop_path_rate,
+                           dtype=dtype)
     if mt == "image":
         # image-classifier path (reference train_img.py:44 defaults to
         # timm convnext_base): ConvNeXt zoo + ResNet zoo
@@ -89,7 +119,13 @@ class ImageClassifier(nn.Module):
 def example_input(cfg: ModelConfig, batch: int = 1, image_size: int = 224) -> jnp.ndarray:
     """A zero input of the model's expected shape."""
     mt = cfg.model_type.lower()
-    if mt == "tsm":
+    if mt == "timesformer":
+        # the patch grid is a config constant — ignore the caller's
+        # image_size override to keep pos_embed shape consistent
+        return jnp.zeros(
+            (batch, cfg.num_segments, cfg.image_size, cfg.image_size, 3),
+            jnp.float32)
+    if mt in ("tsm", "tpn"):
         return jnp.zeros((batch, cfg.num_segments, image_size, image_size, 3),
                          jnp.float32)
     if mt == "tdn":

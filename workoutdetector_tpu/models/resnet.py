@@ -206,6 +206,11 @@ class ResNet(nn.Module):
     # O(stages) activation memory — the jax.checkpoint lever for big batches
     remat: bool = False
 
+    # return these stages' spatial maps as a tuple instead of the head
+    # (mmaction ResNetTSM out_indices, the TPN neck's taps —
+    # reference configs/tpn.py:7-11)
+    out_indices: Optional[Sequence[int]] = None
+
     @nn.compact
     def __call__(self, x, train: bool = False, features_only: bool = False,
                  spatial: bool = False):
@@ -226,6 +231,7 @@ class ResNet(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
+        taps = []
         for i, n_blocks in enumerate(self.stage_sizes):
             filters = self.width * 2 ** i
             if self.stage_input_hook is not None:
@@ -252,7 +258,11 @@ class ResNet(nn.Module):
                               shift=shift,
                               train_attr=train,
                               name=f"layer{i + 1}_{j}")(x)
+            if self.out_indices is not None and i in self.out_indices:
+                taps.append(x)
 
+        if self.out_indices is not None:
+            return tuple(taps)
         if spatial:
             return x
         x = jnp.mean(x, axis=(1, 2))  # global average pool → (N, C)

@@ -1,0 +1,281 @@
+"""TimeSformer — divided space-time attention video classifier, TPU-native.
+
+Capability match of the reference's TimeSformer training config
+(workoutdetector/configs/timesformer_div_8x4x1_k400.py:5-23: mmaction
+``TimeSformer`` backbone, ViT-B/16, 8 frames, divided_space_time, LN eps
+1e-6, ``TimeSformerHead`` linear head on the cls token). The reference
+trains it through the mmaction harness (workoutdetector/train.py); here it
+is a first-class model_type in the one canonical trainer.
+
+Semantics follow the facebookresearch TimeSformer lineage (the same
+implementation mmaction wraps): per-frame patch embedding + cls token +
+spatial position embeddings, a temporal embedding over segments, then per
+block temporal attention (per patch location, over T, output through a
+zero-initialized projection so each block starts as pure spatial ViT),
+spatial attention (per frame, cls token replicated per frame and averaged
+back), and an MLP — all pre-LayerNorm with optional stochastic depth.
+
+TPU design:
+  * patch tokens live as (B, P, T, D): temporal attention is a free
+    reshape to (B*P, T, D); spatial attention is one transpose per block
+    (the axis alternation IS the algorithm). Everything else is
+    batched matmuls — pure MXU work, no im2col, no gathers.
+  * attention is plain softmax(QK^T)V over short rows (T=8, P+1=197):
+    XLA fuses scale+softmax into the matmul epilogue; a flash kernel
+    buys nothing at these lengths.
+  * params fp32, compute in ``dtype`` (bf16), logits promoted to fp32.
+  * static shapes only: T and the patch grid are config constants.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+# ViT variants accepted as TimeSformer backbones: (embed, depth, heads)
+VIT_VARIANTS = {
+    "vit_base_patch16_224": (768, 12, 12),
+    "vit_large_patch16_224": (1024, 24, 16),
+}
+
+
+def _drop_path(x: jnp.ndarray, rate: float, deterministic: bool,
+               rng: Optional[jax.Array]) -> jnp.ndarray:
+    """Stochastic depth over the leading (row) dim — one keep/drop decision
+    per row, matching the torch drop_path used by the reference stack
+    (per-(b,t) rows in spatial attention, per-(b,p) rows in temporal)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class MHA(nn.Module):
+    """Multi-head self-attention with the torch packed-qkv layout
+    (in_proj (D,3D) + out_proj), so reference checkpoints port 1:1."""
+    dim: int
+    num_heads: int
+    dtype: Any = jnp.float32
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        n, l, d = x.shape
+        h = self.num_heads
+        dh = d // h
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(n, l, 3, h, dh)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (n, l, h, dh)
+        attn = jnp.einsum("nqhd,nkhd->nhqk", q, k) * (dh ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+        out = jnp.einsum("nhqk,nkhd->nqhd", attn, v).reshape(n, l, d)
+        out = nn.Dense(d, dtype=self.dtype, name="proj")(out)
+        return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+
+
+class Mlp(nn.Module):
+    dim: int
+    hidden: int
+    dtype: Any = jnp.float32
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        return nn.Dropout(self.drop, deterministic=not train)(x)
+
+
+class DividedBlock(nn.Module):
+    """One divided space-time block.
+
+    cls (B, 1, D) + patches (B, P, T, D) → same shapes.
+    """
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: Any = jnp.float32
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, cls_tok: jnp.ndarray, patches: jnp.ndarray,
+                 train: bool = False):
+        b, p, t, d = patches.shape
+        det = not train or self.drop_path == 0.0
+        rngs = (None, None, None) if det else \
+            tuple(self.make_rng("dropout") for _ in range(3))
+
+        # temporal attention per patch location (over T), output through a
+        # zero-init projection: the block starts as a spatial-only ViT
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="t_norm")(patches)
+        y = MHA(d, self.num_heads, self.dtype, self.attn_drop, self.drop,
+                name="t_attn")(y.reshape(b * p, t, d), train)
+        y = _drop_path(y, self.drop_path, det, rngs[0]).reshape(b, p, t, d)
+        y = nn.Dense(d, dtype=self.dtype, name="t_fc",
+                     kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.zeros)(y)
+        patches = patches + y
+
+        # spatial attention per frame, cls replicated per frame
+        sp = patches.transpose(0, 2, 1, 3).reshape(b * t, p, d)
+        cls_rep = jnp.broadcast_to(cls_tok[:, None], (b, t, 1, d))
+        sp = jnp.concatenate([cls_rep.reshape(b * t, 1, d), sp], axis=1)
+        sp = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="s_norm")(sp)
+        sp = MHA(d, self.num_heads, self.dtype, self.attn_drop, self.drop,
+                 name="s_attn")(sp, train)
+        sp = _drop_path(sp, self.drop_path, det, rngs[1])
+        cls_res = jnp.mean(sp[:, 0].reshape(b, t, d), axis=1, keepdims=True)
+        sp_res = sp[:, 1:].reshape(b, t, p, d).transpose(0, 2, 1, 3)
+        cls_tok = cls_tok + cls_res
+        patches = patches + sp_res
+
+        # MLP over every token (cls + patches), pre-LN; one per-sample
+        # stochastic-depth mask shared by cls and patches (the torch stack
+        # drops the concatenated tensor)
+        mlp = Mlp(d, int(d * self.mlp_ratio), self.dtype, self.drop, name="mlp")
+        norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="mlp_norm")
+        if det:
+            mask = None
+        else:
+            keep = 1.0 - self.drop_path
+            mask = jax.random.bernoulli(rngs[2], keep, (b, 1, 1))
+        y_cls = mlp(norm(cls_tok), train)
+        y_pat = mlp(norm(patches), train)
+        if mask is not None:
+            keep = 1.0 - self.drop_path
+            y_cls = jnp.where(mask, y_cls / keep, 0.0)
+            y_pat = jnp.where(mask[..., None], y_pat / keep, 0.0)
+        return cls_tok + y_cls, patches + y_pat
+
+
+class JointBlock(nn.Module):
+    """Standard pre-LN ViT block over a flat token sequence — the
+    joint_space_time and space_only attention types."""
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: Any = jnp.float32
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        det = not train or self.drop_path == 0.0
+        rngs = (None, None) if det else \
+            tuple(self.make_rng("dropout") for _ in range(2))
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="s_norm")(x)
+        y = MHA(self.dim, self.num_heads, self.dtype, self.attn_drop,
+                self.drop, name="s_attn")(y, train)
+        x = x + _drop_path(y, self.drop_path, det, rngs[0])
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="mlp_norm")(x)
+        y = Mlp(self.dim, int(self.dim * self.mlp_ratio), self.dtype,
+                self.drop, name="mlp")(y, train)
+        return x + _drop_path(y, self.drop_path, det, rngs[1])
+
+
+class TimeSformer(nn.Module):
+    """TimeSformer video classifier.
+
+    Call: logits = model(x, train) with x (B, T, H, W, C) normalized float
+    → (B, num_class) fp32 (the same contract as TSM/TDN).
+    """
+    num_class: int
+    num_segments: int = 8
+    image_size: int = 224
+    patch_size: int = 16
+    embed_dims: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    attention_type: str = "divided_space_time"
+    # divided_space_time | joint_space_time | space_only
+    dropout: float = 0.0  # hidden dropout (reference dropout_ratio)
+    attn_dropout: float = 0.0
+    drop_path_rate: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        b, t, hh, ww, c = x.shape
+        assert t == self.num_segments, f"expected T={self.num_segments}, got {t}"
+        assert self.attention_type in ("divided_space_time",
+                                       "joint_space_time", "space_only"), \
+            f"Unknown attention type: {self.attention_type}"
+        d = self.embed_dims
+        ps = self.patch_size
+        x = x.reshape(b * t, hh, ww, c).astype(self.dtype)
+        patches = nn.Conv(d, (ps, ps), (ps, ps), padding="VALID",
+                          dtype=self.dtype, name="patch_embed")(x)
+        p = patches.shape[1] * patches.shape[2]
+        patches = patches.reshape(b, t, p, d)
+
+        trunc = nn.initializers.truncated_normal(0.02)
+        cls_token = self.param("cls_token", trunc, (1, 1, d))
+        pos_embed = self.param("pos_embed", trunc, (1, p + 1, d))
+        cls_tok = jnp.broadcast_to(
+            (cls_token + pos_embed[:, :1]).astype(self.dtype), (b, 1, d))
+        patches = patches + pos_embed[None, :, 1:].astype(self.dtype)
+        pos_drop = nn.Dropout(self.dropout, deterministic=not train)
+        cls_tok = pos_drop(cls_tok)
+        patches = pos_drop(patches)
+
+        if self.attention_type != "space_only":
+            time_embed = self.param("time_embed", trunc, (1, t, d))
+            patches = patches + time_embed[:, :, None].astype(self.dtype)
+            patches = nn.Dropout(self.dropout,
+                                 deterministic=not train)(patches)
+
+        # per-layer stochastic-depth rates: linspace 0 → drop_path_rate
+        dprs = np.linspace(0.0, self.drop_path_rate, self.num_layers)
+
+        if self.attention_type == "divided_space_time":
+            patches = patches.transpose(0, 2, 1, 3)  # (B, P, T, D)
+            for i in range(self.num_layers):
+                cls_tok, patches = DividedBlock(
+                    d, self.num_heads, self.mlp_ratio, self.dtype,
+                    self.dropout, self.attn_dropout, float(dprs[i]),
+                    name=f"block_{i}")(cls_tok, patches, train)
+            feat = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                name="norm")(cls_tok[:, 0])
+        elif self.attention_type == "joint_space_time":
+            tokens = jnp.concatenate(
+                [cls_tok, patches.transpose(0, 2, 1, 3).reshape(b, p * t, d)],
+                axis=1)
+            for i in range(self.num_layers):
+                tokens = JointBlock(
+                    d, self.num_heads, self.mlp_ratio, self.dtype,
+                    self.dropout, self.attn_dropout, float(dprs[i]),
+                    name=f"block_{i}")(tokens, train)
+            feat = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                name="norm")(tokens[:, 0])
+        else:  # space_only: per-frame ViT, cls features averaged over T
+            tokens = jnp.concatenate(
+                [jnp.broadcast_to(cls_tok[:, None], (b, t, 1, d))
+                 .reshape(b * t, 1, d),
+                 patches.reshape(b * t, p, d)], axis=1)
+            for i in range(self.num_layers):
+                tokens = JointBlock(
+                    d, self.num_heads, self.mlp_ratio, self.dtype,
+                    self.dropout, self.attn_dropout, float(dprs[i]),
+                    name=f"block_{i}")(tokens, train)
+            feat = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                name="norm")(tokens[:, 0])
+            feat = jnp.mean(feat.reshape(b, t, d), axis=1)
+
+        feat = nn.Dropout(self.dropout, deterministic=not train)(feat)
+        logits = nn.Dense(self.num_class, dtype=self.dtype,
+                          kernel_init=nn.initializers.normal(0.02),
+                          bias_init=nn.initializers.zeros, name="fc")(feat)
+        return logits.astype(jnp.float32)

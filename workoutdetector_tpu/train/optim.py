@@ -127,7 +127,8 @@ def build_schedule(cfg: LRSchedulerConfig,
 
 
 def _sgd_group(lr_mult: float, decay_mult: float, schedule: optax.Schedule,
-               momentum: float, weight_decay: float) -> optax.GradientTransformation:
+               momentum: float, weight_decay: float,
+               nesterov: bool = False) -> optax.GradientTransformation:
     """torch-SGD-ordered update: wd folds into grad BEFORE momentum
     (torch semantics, which the reference relies on)."""
     if lr_mult == 0.0:
@@ -136,10 +137,22 @@ def _sgd_group(lr_mult: float, decay_mult: float, schedule: optax.Schedule,
     if weight_decay * decay_mult > 0:
         parts.append(optax.add_decayed_weights(weight_decay * decay_mult))
     if momentum > 0:
-        parts.append(optax.trace(decay=momentum))
+        parts.append(optax.trace(decay=momentum, nesterov=nesterov))
     parts.append(optax.scale(lr_mult))
     parts.append(optax.scale_by_learning_rate(schedule))
     return optax.chain(*parts)
+
+
+# params exempted from weight decay by leaf name — the reference
+# TimeSformer paramwise_cfg sets decay_mult 0 on exactly these
+# (configs/timesformer_div_8x4x1_k400.py:96-100)
+NO_DECAY_LEAVES = ("cls_token", "pos_embed", "time_embed")
+
+
+def _decay_mask(params: Any) -> Any:
+    flat = traverse_util.flatten_dict(params)
+    mask = {k: k[-1] not in NO_DECAY_LEAVES for k in flat}
+    return traverse_util.unflatten_dict(mask)
 
 
 def build_optimizer(opt_cfg: OptimizerConfig,
@@ -159,21 +172,31 @@ def build_optimizer(opt_cfg: OptimizerConfig,
     schedule = build_schedule(sched_cfg, opt_cfg.lr, steps_per_epoch, max_epochs)
     method = opt_cfg.method.lower()
 
+    def clipped(tx: optax.GradientTransformation) -> optax.GradientTransformation:
+        # mmaction optimizer_config grad_clip (clip_grad_norm) analog
+        if opt_cfg.grad_clip > 0:
+            return optax.chain(optax.clip_by_global_norm(opt_cfg.grad_clip), tx)
+        return tx
+
     if opt_cfg.use_tsn_policies and method == "sgd":
         transforms = {
             name: _sgd_group(lr_mult, decay_mult, schedule, opt_cfg.momentum,
-                             opt_cfg.weight_decay)
+                             opt_cfg.weight_decay, opt_cfg.nesterov)
             for name, (lr_mult, decay_mult) in POLICY_TABLE.items()
         }
         labels = label_params(params, partial_bn=partial_bn, fc_lr5=fc_lr5)
-        return optax.multi_transform(transforms, labels), schedule
+        return clipped(optax.multi_transform(transforms, labels)), schedule
 
     if method == "sgd":
-        tx = optax.chain(optax.add_decayed_weights(opt_cfg.weight_decay),
-                         optax.trace(decay=opt_cfg.momentum),
-                         optax.scale_by_learning_rate(schedule))
-        return tx, schedule
+        tx = optax.chain(
+            optax.masked(optax.add_decayed_weights(opt_cfg.weight_decay),
+                         _decay_mask(params)),
+            optax.trace(decay=opt_cfg.momentum, nesterov=opt_cfg.nesterov),
+            optax.scale_by_learning_rate(schedule))
+        return clipped(tx), schedule
     if method == "adamw":
-        return optax.adamw(schedule, eps=opt_cfg.eps,
-                           weight_decay=opt_cfg.weight_decay), schedule
+        return clipped(
+            optax.adamw(schedule, eps=opt_cfg.eps,
+                        weight_decay=opt_cfg.weight_decay,
+                        mask=_decay_mask(params))), schedule
     raise NotImplementedError(f"optimizer '{opt_cfg.method}' not supported")

@@ -110,6 +110,8 @@ class Trainer:
         model, tx = self.model, self.tx
         base_key = jax.random.PRNGKey(self.cfg.seed + 1)
 
+        aux_w = self.cfg.model.aux_loss_weight
+
         def train_step(state: TrainState, x_u8: jnp.ndarray, y: jnp.ndarray):
             x = normalize_clip(x_u8)
             dropout_rng = jax.random.fold_in(base_key, state.step)
@@ -119,9 +121,15 @@ class Trainer:
                     {"params": params, "batch_stats": state.batch_stats},
                     x,
                     train=True,
-                    mutable=["batch_stats"],
+                    mutable=["batch_stats", "intermediates"],
                     rngs={"dropout": dropout_rng})
                 loss = cross_entropy_loss(out, y)
+                # auxiliary-head CE (TPN neck aux_head_cfg loss_weight,
+                # reference configs/tpn.py:22) — models sow 'aux_logits'
+                inter = updates.get("intermediates", {})
+                if "aux_logits" in inter:
+                    loss = loss + aux_w * cross_entropy_loss(
+                        inter["aux_logits"][0], y)
                 return loss, (out, updates.get("batch_stats", state.batch_stats))
 
             (loss, (logits, new_stats)), grads = jax.value_and_grad(
