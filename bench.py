@@ -31,7 +31,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=32,
                         help="clips per device step")
-    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--steps", type=int, default=80)
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--measure-baseline", action="store_true")
     parser.add_argument("--cpu", action="store_true",
@@ -67,21 +67,36 @@ def main() -> None:
         return
 
     @jax.jit
-    def run(x_u8):
-        return model.apply(variables, normalize_clip(x_u8), train=False)
+    def run(x_u8, bump):
+        # bump: device scalar perturbing the input so no two enqueued
+        # steps are identical pure expressions (lazy-backend insurance)
+        return model.apply(variables, normalize_clip(x_u8 + bump),
+                           train=False)
 
     x = np.random.default_rng(0).integers(0, 256,
                                           size=(args.batch, 8, 224, 224, 3),
                                           dtype=np.uint8)
     xd = jax.device_put(jnp.asarray(x))
 
-    for _ in range(args.warmup):
-        run(xd).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        out = run(xd)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    # TIMING NOTE (measured 2026-08-16): the tunneled 'axon' backend is
+    # lazy — block_until_ready() is a no-op and only a host fetch forces
+    # evaluation. Two traps:
+    #  (a) the lazy graph dead-code-eliminates whatever the fetched value
+    #      doesn't depend on: fetching one logit element reports an
+    #      impossible >2500 clips/s. Sync on a CHECKSUM over every output.
+    #  (b) the first batch of enqueued steps after compile carries
+    #      connection warm-up (~40 ms/step vs the flat 26.9 ms steady
+    #      state) — so warm up with a full-length batch, then time one
+    #      long run; per-step cost is flat (±2%) for n in [40, 200].
+    # Both choices are harmless on eager backends.
+    def run_n(n, base):
+        t0 = time.perf_counter()
+        outs = [run(xd, jnp.uint8((base + i) & 0xFF)) for i in range(n)]
+        np.asarray(jnp.stack([o.sum() for o in outs]))
+        return time.perf_counter() - t0
+
+    run_n(max(args.warmup, min(args.steps, 40)), 0)
+    dt = run_n(args.steps, 64)
     clips_per_sec = args.batch * args.steps / dt
 
     baseline = float(os.environ.get("WD_BENCH_BASELINE", 0)) or None

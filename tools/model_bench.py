@@ -1,0 +1,171 @@
+"""Per-model TPU throughput bench: device-resident inference + train step.
+
+Generalizes bench.py's methodology (3 warmup steps, steady-state mean,
+device-resident uint8 inputs with the normalize fused into the graph) to
+every model family, and reports achieved FLOP/s from XLA's own cost
+analysis of the compiled executable — so MFU numbers in docs/PERF.md come
+from the compiler's FLOP count, not hand math.
+
+Usage:
+  python tools/model_bench.py --model timesformer --batch 8 [--train] [--cpu]
+
+_TIMING_NOTE: the tunneled 'axon' backend is fully lazy —
+``block_until_ready()`` is a no-op (measured: a 4.4-TFLOP matmul chain
+"completes" in 0.03 ms) and only a host fetch (``np.asarray``) forces
+evaluation. Moreover the lazy graph dead-code-eliminates anything the
+fetched value doesn't depend on: fetching one element of the logits
+skips the other batch rows entirely (measured: impossible >2500 clips/s
+vs the known ~26 ms device floor). Timing therefore (a) syncs by
+fetching a checksum (sum) over EVERY output element, and (b) warms up
+with a full-length step batch (the first enqueued batch after compile
+carries ~1.5x connection warm-up) then times one long run — per-step
+cost is flat (±2%) for n in [40, 200]. On a non-lazy backend both
+choices are harmless.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="timesformer",
+                   choices=["tsm", "tdn", "tpn", "timesformer"])
+    p.add_argument("--base-model", default=None)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--steps", type=int, default=80,
+                   help="large default: dispatch overhead on the lazy "
+                        "tunneled backend only amortizes past ~40 steps")
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--train", action="store_true",
+                   help="bench the fwd+bwd+update step instead of inference")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from workoutdetector_tpu.config import ModelConfig
+    from workoutdetector_tpu.models.factory import build_model, example_input
+    from workoutdetector_tpu.ops.preprocess import normalize_clip
+
+    cfg = ModelConfig()
+    cfg.model_type = args.model
+    cfg.dropout = 0.0
+    cfg.image_size = args.image_size
+    if args.base_model:
+        cfg.base_model = args.base_model
+    elif args.model == "timesformer":
+        cfg.base_model = "vit_base_patch16_224"
+    model = build_model(cfg)
+
+    rng = jax.random.PRNGKey(0)
+    x0 = example_input(cfg, batch=args.batch, image_size=args.image_size)
+    variables = model.init({"params": rng}, x0, train=False)
+    params = variables["params"]
+    batch_stats = dict(variables.get("batch_stats", {}))
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+
+    shape = x0.shape
+    x_u8 = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, shape, dtype=np.uint8))
+
+    if args.train:
+        tx = optax.sgd(0.0)  # throughput only; lr 0 keeps weights stable
+        opt_state = tx.init(params)
+        y = jnp.zeros((args.batch,), jnp.int32)
+
+        def step(params, batch_stats, opt_state, x_u8, y):
+            x = normalize_clip(x_u8)
+
+            def loss_fn(p):
+                out, upd = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, x, train=True,
+                    mutable=["batch_stats", "intermediates"],
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+                logp = jax.nn.log_softmax(out)
+                loss = -jnp.mean(logp[jnp.arange(out.shape[0]), y])
+                inter = upd.get("intermediates", {})
+                if "aux_logits" in inter:
+                    a = jax.nn.log_softmax(inter["aux_logits"][0])
+                    loss = loss + 0.5 * -jnp.mean(
+                        a[jnp.arange(out.shape[0]), y])
+                return loss, upd.get("batch_stats", batch_stats)
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_stats, opt_state, loss
+
+        fn = jax.jit(step, donate_argnums=(0, 1, 2))
+        cost = fn.lower(params, batch_stats, opt_state,
+                        x_u8, y).cost_analysis()
+
+        def run_n(n):
+            nonlocal params, batch_stats, opt_state
+            t0 = time.perf_counter()
+            for _ in range(n):
+                params, batch_stats, opt_state, loss = fn(
+                    params, batch_stats, opt_state, x_u8, y)
+            np.asarray(loss)  # forced evaluation — see _TIMING_NOTE
+            return time.perf_counter() - t0
+
+        run_n(max(args.warmup, min(args.steps, 40)))
+        dt = run_n(args.steps) / args.steps
+    else:
+        # params/batch_stats must be ARGS, not a closure: closed-over
+        # arrays are baked into the HLO as constants, and the tunneled
+        # compile endpoint rejects >~100 MB requests (HTTP 413) — a ViT-B
+        # would ship 484 MB of weights inside the program.
+        def run(params, batch_stats, x_u8, bump):
+            # bump is a device scalar that perturbs the input per call so
+            # no two enqueued steps are identical pure expressions
+            x = normalize_clip(x_u8 + bump)
+            return model.apply({"params": params, "batch_stats": batch_stats},
+                               x, train=False)
+
+        fn = jax.jit(run)
+        zero = jnp.zeros((), jnp.uint8)
+        cost = fn.lower(params, batch_stats, x_u8, zero).cost_analysis()
+
+        def run_n(n, base):
+            t0 = time.perf_counter()
+            outs = [fn(params, batch_stats, x_u8,
+                       jnp.uint8((base + i) & 0xFF)) for i in range(n)]
+            # forced evaluation of EVERY element — see _TIMING_NOTE
+            np.asarray(jnp.stack([o.sum() for o in outs]))
+            return time.perf_counter() - t0
+
+        run_n(max(args.warmup, min(args.steps, 40)), 0)
+        dt = run_n(args.steps, 64) / args.steps
+
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    flops = float(cost.get("flops", 0.0))
+    clips_s = args.batch / dt
+    print(json.dumps({
+        "model": args.model,
+        "base_model": cfg.base_model,
+        "mode": "train" if args.train else "inference",
+        "batch": args.batch,
+        "params_m": round(n_params / 1e6, 2),
+        "ms_per_step": round(dt * 1e3, 2),
+        "clips_per_sec": round(clips_s, 1),
+        "xla_gflops_per_step": round(flops / 1e9, 1),
+        "achieved_tflops": round(flops / dt / 1e12, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -149,9 +149,13 @@ class OptimizerConfig(ConfigNode):
     nesterov: bool = False  # reference timesformer/tpn configs use nesterov
     weight_decay: float = 5.0e-4
     eps: float = 1.0e-8
-    # global-norm gradient clip; 0 = off (reference mmaction
-    # optimizer_config grad_clip max_norm, timesformer config :102)
-    grad_clip: float = 0.0
+    # global-norm gradient clip; 0 = off. Default matches the reference's
+    # canonical TSM training config (optimizer_config grad_clip
+    # max_norm=20, configs/tsm_MultiActionRepCount_sthv2.py:33; its
+    # timesformer config uses 40, tpn 20). Without it the fc×5 TSN policy
+    # can blow up once logits saturate on easy data (measured: loss 0 →
+    # 7e5 → nan on the brightness drive at lr 0.02).
+    grad_clip: float = 20.0
     use_tsn_policies: bool = True  # per-group lr/decay multipliers
 
 
