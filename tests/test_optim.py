@@ -129,3 +129,36 @@ def test_sgd_matches_torch_semantics():
     up2, st = tx.update(g, st, params2)
     want_buf = mom * 1.02 + (1.0 + wd * float(params2["w"][0]))
     assert float(up2["w"][0]) == pytest.approx(-lr * want_buf, rel=1e-5)
+
+
+def test_grad_clip_default_matches_reference():
+    """Default grad_clip follows the reference's canonical TSM config
+    (optimizer_config grad_clip max_norm=20,
+    configs/tsm_MultiActionRepCount_sthv2.py:33): gradients with global
+    norm > 20 are rescaled onto the norm-20 sphere BEFORE the SGD
+    update; small gradients pass through untouched."""
+    assert OptimizerConfig().grad_clip == 20.0
+    params = {"w": jnp.zeros((4,))}
+    cfg = OptimizerConfig(method="sgd", lr=1.0, momentum=0.0,
+                          weight_decay=0.0, use_tsn_policies=False)
+    tx, _ = build_optimizer(cfg, LRSchedulerConfig(policy="steplr", step=1000),
+                            params, 1, 1)
+    st = tx.init(params)
+    big = {"w": jnp.full((4,), 50.0)}  # global norm 100
+    up, _ = tx.update(big, st, params)
+    np.testing.assert_allclose(np.asarray(up["w"]),
+                               -np.asarray(big["w"]) * (20.0 / 100.0),
+                               rtol=1e-6)
+    small = {"w": jnp.full((4,), 1.0)}  # norm 2 < 20: untouched
+    up2, _ = tx.update(small, tx.init(params), params)
+    np.testing.assert_allclose(np.asarray(up2["w"]), -np.asarray(small["w"]),
+                               rtol=1e-6)
+    # grad_clip=0 disables clipping entirely
+    cfg0 = OptimizerConfig(method="sgd", lr=1.0, momentum=0.0,
+                           weight_decay=0.0, use_tsn_policies=False,
+                           grad_clip=0.0)
+    tx0, _ = build_optimizer(cfg0, LRSchedulerConfig(policy="steplr", step=1000),
+                             params, 1, 1)
+    up3, _ = tx0.update(big, tx0.init(params), params)
+    np.testing.assert_allclose(np.asarray(up3["w"]), -np.asarray(big["w"]),
+                               rtol=1e-6)
