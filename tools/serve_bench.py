@@ -1,0 +1,145 @@
+"""Serving benchmark: concurrent webcam-style WS clients against a live
+WorkoutServer (the reference app/server.py contract) with the real model
+on the device.
+
+Each client streams 8-frame windows of webp data-URLs exactly like the
+browser app (100 ms cadence is replaced by as-fast-as-possible to measure
+capacity), and waits for the per-window score reply. The shared
+AsyncBatcher coalesces concurrent windows into device batches.
+
+Prints ONE JSON line: windows/s, frames/s, per-window latency p50/p95,
+and batcher coalescing stats.
+
+Usage:
+  python tools/serve_bench.py [--clients 8] [--windows 6] [--cpu]
+                              [--base-model resnet50] [--image-size 224]
+
+On the tunneled dev chip the per-window latency includes the ~50 ms
+fetch round-trip per batch; throughput is therefore a LOWER bound on a
+real host's.
+"""
+
+import argparse
+import asyncio
+import base64
+import io
+import json
+import os
+import socket
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _frame_data_url(rng, size: int) -> str:
+    from PIL import Image
+    img = Image.fromarray(rng.integers(0, 255, (size, size, 3), dtype="uint8"),
+                          "RGB")
+    buf = io.BytesIO()
+    img.save(buf, format="WEBP")
+    return "data:image/webp;base64," + base64.b64encode(buf.getvalue()).decode()
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--clients", type=int, default=8)
+    p.add_argument("--windows", type=int, default=6,
+                   help="8-frame windows per client")
+    p.add_argument("--base-model", default="resnet50")
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--batch-delay-ms", type=float, default=10.0)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from workoutdetector_tpu.infer.engine import InferenceEngine
+    from workoutdetector_tpu.models import TSM
+    from workoutdetector_tpu.serve.server import WorkoutServer
+
+    model = TSM(num_class=11, num_segments=8, base_model=args.base_model,
+                dropout=0.0,
+                dtype=jnp.float32 if args.cpu else jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    init_x = jnp.zeros((1, 8, args.image_size, args.image_size, 3),
+                       jnp.float32)
+    variables = jax.jit(lambda: model.init({"params": rng}, init_x,
+                                           train=False))()
+    engine = InferenceEngine(model, variables, num_segments=8,
+                             window_batch=max(args.clients, 4),
+                             image_size=args.image_size)
+    # pay the compile before measuring
+    engine.score_windows(np.zeros(
+        (1, 8, args.image_size, args.image_size, 3), np.uint8))
+
+    srv = WorkoutServer(engine, host="127.0.0.1", http_port=_free_port(),
+                        ws_port=_free_port(),
+                        batch_delay_ms=args.batch_delay_ms)
+
+    frames = [_frame_data_url(np.random.default_rng(c), args.image_size)
+              for c in range(args.clients)]
+
+    async def one_client(cid):
+        import websockets
+        uri = f"ws://127.0.0.1:{srv.ws_port}/ws/bench{cid}"
+        lat = []
+        async with websockets.connect(uri, max_size=None) as ws:
+            for _ in range(args.windows):
+                t0 = time.perf_counter()
+                for _ in range(8):
+                    await ws.send(frames[cid])
+                reply = json.loads(await asyncio.wait_for(ws.recv(), 120))
+                assert reply.get("success"), reply
+                lat.append(time.perf_counter() - t0)
+            await ws.send("stop")
+        return lat
+
+    async def drive():
+        ws_task = asyncio.create_task(srv.serve_ws())
+        await asyncio.sleep(0.3)
+        # warmup round (connection + batcher settle), then measured round
+        await asyncio.gather(*[one_client(c) for c in range(args.clients)])
+        req0, fl0 = srv.batcher.n_requests, srv.batcher.n_flushes
+        t0 = time.perf_counter()
+        all_lat = await asyncio.gather(
+            *[one_client(c) for c in range(args.clients)])
+        dt = time.perf_counter() - t0
+        ws_task.cancel()
+        try:
+            await ws_task
+        except asyncio.CancelledError:
+            pass
+        return all_lat, dt, srv.batcher.n_requests - req0, \
+            srv.batcher.n_flushes - fl0
+
+    all_lat, dt, n_req, n_flush = asyncio.run(drive())
+    flat = sorted(l for ls in all_lat for l in ls)
+    n_windows = len(flat)
+    assert n_windows == args.clients * args.windows, "dropped replies"
+    print(json.dumps({
+        "metric": "serving_ws_throughput",
+        "clients": args.clients,
+        "windows_per_sec": round(n_windows / dt, 2),
+        "frames_per_sec": round(8 * n_windows / dt, 1),
+        "latency_p50_ms": round(1e3 * flat[len(flat) // 2], 1),
+        "latency_p95_ms": round(1e3 * flat[int(0.95 * (len(flat) - 1))], 1),
+        "batch_coalescing": round(n_req / max(n_flush, 1), 2),
+        "backend": "cpu" if args.cpu else "tpu",
+    }))
+
+
+if __name__ == "__main__":
+    main()
