@@ -32,6 +32,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _flop_analysis(fn, *args):
+    """XLA HLO cost analysis of fn at these shapes. The tunneled 'axon'
+    backend's Lowered.cost_analysis() returns None (analysis lives
+    server-side), so lower against the always-present CPU backend — the
+    client-side HLO FLOP count is backend-independent."""
+    import jax
+    try:
+        cost = jax.jit(fn, device=jax.devices("cpu")[0]).lower(
+            *args).cost_analysis()
+    except Exception:
+        return None
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    return cost
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="timesformer",
@@ -109,8 +125,7 @@ def main() -> None:
             return params, new_stats, opt_state, loss
 
         fn = jax.jit(step, donate_argnums=(0, 1, 2))
-        cost = fn.lower(params, batch_stats, opt_state,
-                        x_u8, y).cost_analysis()
+        cost = _flop_analysis(step, params, batch_stats, opt_state, x_u8, y)
 
         def run_n(n):
             nonlocal params, batch_stats, opt_state
@@ -137,7 +152,7 @@ def main() -> None:
 
         fn = jax.jit(run)
         zero = jnp.zeros((), jnp.uint8)
-        cost = fn.lower(params, batch_stats, x_u8, zero).cost_analysis()
+        cost = _flop_analysis(run, params, batch_stats, x_u8, zero)
 
         def run_n(n, base):
             t0 = time.perf_counter()
@@ -150,9 +165,7 @@ def main() -> None:
         run_n(max(args.warmup, min(args.steps, 40)), 0)
         dt = run_n(args.steps, 64) / args.steps
 
-    if isinstance(cost, (list, tuple)):
-        cost = cost[0]
-    flops = float(cost.get("flops", 0.0))
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
     clips_s = args.batch / dt
     print(json.dumps({
         "model": args.model,

@@ -28,6 +28,7 @@ import os
 import tempfile
 import threading
 from base64 import b64decode
+from concurrent.futures import ThreadPoolExecutor
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional
 
@@ -104,6 +105,15 @@ class WorkoutServer:
         self.batcher = AsyncBatcher(engine.score_windows,
                                     max_batch=engine.window_batch,
                                     max_delay_ms=batch_delay_ms)
+        # webp decode + resize/crop off the event loop: inline they
+        # serialize every client's frames through the loop thread
+        # (measured: host image decode, not device compute, bounds
+        # serving capacity — docs/PERF.md serving section). PIL and the
+        # numpy resize release the GIL for their C inner loops, so a
+        # small pool scales with cores.
+        self._prep_pool = ThreadPoolExecutor(
+            max_workers=min(8, os.cpu_count() or 4),
+            thread_name_prefix="ws-prep")
         self._httpd: Optional[ThreadingHTTPServer] = None
 
     # ---------------- video upload path ---------------- #
@@ -149,11 +159,13 @@ class WorkoutServer:
                                                       window=SAMPLE_LENGTH)
                     frame_queue.clear()
                     continue
-                frame = decode_data_url(message) if isinstance(message, str) else None
+                loop = asyncio.get_running_loop()
+                frame = await loop.run_in_executor(
+                    self._prep_pool, decode_data_url, message) \
+                    if isinstance(message, str) else None
                 if frame is None:
                     continue
                 if mode == "count" and counter is not None:
-                    loop = __import__("asyncio").get_running_loop()
                     update = await loop.run_in_executor(None, counter.push, frame)
                     if update is not None:
                         await websocket.send(json.dumps({
@@ -166,7 +178,9 @@ class WorkoutServer:
                     continue
                 frame_queue.append(frame)
                 if len(frame_queue) == SAMPLE_LENGTH:
-                    window = prep_frames(frame_queue, self.engine.image_size)
+                    window = await loop.run_in_executor(
+                        self._prep_pool, prep_frames, list(frame_queue),
+                        self.engine.image_size)
                     frame_queue.clear()
                     scores = await self.batcher.score(window)
                     await websocket.send(json.dumps({
@@ -276,6 +290,7 @@ class WorkoutServer:
     def shutdown(self) -> None:
         if self._httpd is not None:
             self._httpd.shutdown()
+        self._prep_pool.shutdown(wait=False)
 
 
 def _extract_multipart_file(body: bytes, content_type: str) -> bytes:
