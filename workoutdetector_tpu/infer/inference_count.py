@@ -77,6 +77,36 @@ def count_by_video_model(engine: InferenceEngine,
     return count, reps
 
 
+def count_by_similarity(feature_engine: InferenceEngine,
+                        video_path: str,
+                        min_period: int = 4,
+                        min_strength: float = 0.05
+                        ) -> Tuple[int, int, float]:
+    """Training-free rep counting via temporal self-similarity (RepNet
+    observation): per-frame backbone features → fundamental period of the
+    lag profile → count = duration / period.
+
+    Needs NO trained checkpoint — even a randomly-initialized backbone
+    carries enough photometric signal to expose periodic motion (the
+    reference demonstrates the heatmap in its similarity notebook,
+    utils/common.py:108-148; here it is promoted to a usable counter and
+    runs as one device matmul over the feature matrix).
+
+    Args:
+        feature_engine: InferenceEngine over a features_only backbone
+            (``input_rank=4``, e.g. ``resnet18(num_classes=0)``).
+
+    Returns:
+        (count, period_frames, strength); count 0 when no periodic
+        structure clears ``min_strength``.
+    """
+    from workoutdetector_tpu.utils.similarity import (count_by_periodicity,
+                                                      video_cnn_features)
+    feats = video_cnn_features(feature_engine, video_path)
+    return count_by_periodicity(feats, min_period=min_period,
+                                min_strength=min_strength)
+
+
 def count_by_image_model(engine: InferenceEngine,
                          video_path: str,
                          ground_truth: Optional[List[int]] = None,
