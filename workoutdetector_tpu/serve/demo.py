@@ -84,7 +84,11 @@ def main() -> None:
 
     parser = argparse.ArgumentParser(description="Workout demo (CLI fallback)")
     parser.add_argument("-i", "--video", required=True)
-    parser.add_argument("--task", choices=["count", "recognize"], default="count")
+    parser.add_argument("--task",
+                        choices=["count", "recognize", "count-similarity"],
+                        default="count",
+                        help="count-similarity: training-free periodicity "
+                             "counter (no checkpoint needed)")
     parser.add_argument("--cfg", default=None)
     parser.add_argument("-o", "--output", default=None,
                         help="annotated video output path")
@@ -95,6 +99,21 @@ def main() -> None:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     cfg = load_config(args.cfg, args.opts)
+    if args.task == "count-similarity":
+        # no checkpoint required: untrained backbone features expose
+        # periodic motion (infer.count_by_similarity)
+        from workoutdetector_tpu.infer import count_by_similarity
+        from workoutdetector_tpu.models.resnet import resnet18
+        import jax.numpy as jnp
+        net = resnet18(num_classes=0, dtype=jnp.float32)
+        variables = net.init({"params": jax.random.PRNGKey(0)},
+                             jnp.zeros((1, 64, 64, 3)), train=False)
+        feat_engine = InferenceEngine(net, dict(variables), image_size=64,
+                                      input_rank=4, window_batch=64)
+        count, period, strength = count_by_similarity(feat_engine, args.video)
+        print(json.dumps({"count": count, "period_frames": period,
+                          "strength": round(float(strength), 4)}))
+        return
     if args.task == "recognize":
         cfg.model.num_class = len(WORKOUT_LABELS)
     model = build_model(cfg.model)
