@@ -100,3 +100,24 @@ def test_pallas_shift_parity(shape, fold_div):
     x = rng.standard_normal(shape).astype(np.float32)
     got = np.asarray(temporal_shift_pallas(jnp.asarray(x), fold_div, interpret=True))
     np.testing.assert_allclose(got, _np_shift(x, fold_div), rtol=1e-6)
+
+
+def test_nearest_resize_2x_matches_jax_image():
+    """TDN's broadcast 2x-upsample fast path is bit-identical to
+    jax.image.resize nearest (and falls back for non-2x shapes)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from workoutdetector_tpu.models.tdn import _nearest_resize
+
+    rng = np.random.default_rng(0)
+    for (h, w) in ((4, 4), (7, 5), (14, 14)):
+        x = jnp.asarray(rng.normal(size=(2, h, w, 3)), jnp.float32)
+        want = jax.image.resize(x, (2, 2 * h, 2 * w, 3), method="nearest")
+        got = _nearest_resize(x, (2, 2 * h, 2 * w, 3))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # non-2x (odd upsample, stage-4's 3->7) falls back, still nearest
+    x = jnp.asarray(rng.normal(size=(1, 3, 3, 2)), jnp.float32)
+    got = _nearest_resize(x, (1, 7, 7, 2))
+    want = jax.image.resize(x, (1, 7, 7, 2), method="nearest")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
