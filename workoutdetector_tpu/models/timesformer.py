@@ -70,12 +70,19 @@ class MHA(nn.Module):
         h = self.num_heads
         dh = d // h
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(n, l, 3, h, dh)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (n, l, h, dh)
-        attn = jnp.einsum("nqhd,nkhd->nhqk", q, k) * (dh ** -0.5)
+        # contiguous last-dim split (torch packs q;k;v along the output
+        # row dim) + explicit head-major batched matmuls. The previous
+        # reshape(n,l,3,h,dh) + interior-dim slicing cost 7 ms/step of
+        # pure `copy` ops on v5e (ViT-B batch 8, device trace) — the
+        # strided q/k/v views forced relayouts in front of every einsum.
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # (n, l, d) each
+        q = q.reshape(n, l, h, dh).transpose(0, 2, 1, 3)  # (n, h, l, dh)
+        k = k.reshape(n, l, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(n, l, h, dh).transpose(0, 2, 1, 3)
+        attn = (q @ k.transpose(0, 1, 3, 2)) * (dh ** -0.5)  # (n, h, l, l)
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
-        out = jnp.einsum("nhqk,nkhd->nqhd", attn, v).reshape(n, l, d)
+        out = (attn @ v).transpose(0, 2, 1, 3).reshape(n, l, d)
         out = nn.Dense(d, dtype=self.dtype, name="proj")(out)
         return nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
