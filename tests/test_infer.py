@@ -178,3 +178,35 @@ def test_device_gather_matches_host_gather(tmp_path):
         s_h, l_h = host.score_video(video, step=8)
         np.testing.assert_array_equal(s_d, s_h)
         np.testing.assert_allclose(l_d, l_h, atol=1e-5), t
+
+
+def test_engine_from_exported_artifact(engine, tmp_path):
+    """Serving from a .jaxm deployment artifact (the reference's
+    serve-from-.onnx path): from_exported scores bit-identically to the
+    live engine, drives the video counter, and refuses the device-gather
+    path with a clear error."""
+    from workoutdetector_tpu.utils.export import export_model
+
+    model, variables = engine.model, engine.variables
+    path = export_model(model, variables, str(tmp_path / "brightness"),
+                        input_shape=(4, 8, SIZE, SIZE, 3),
+                        labels=["down", "up"])
+    loaded = InferenceEngine.from_exported(path)
+    assert loaded.window_batch == 4
+    assert loaded.num_segments == 8
+    assert loaded.image_size == SIZE
+    assert loaded.labels == ["down", "up"]
+
+    rng = np.random.default_rng(0)
+    windows = rng.integers(0, 256, (6, 8, SIZE, SIZE, 3), np.uint8)
+    np.testing.assert_allclose(loaded.score_windows(windows),
+                               engine.score_windows(windows), atol=1e-6)
+
+    video = tmp_path / "v.mp4"
+    _write_video(str(video), [40, 220] * 3)
+    count, reps = count_by_video_model(loaded, str(video))
+    count_live, _ = count_by_video_model(engine, str(video))
+    assert count == count_live == 3
+
+    with pytest.raises(RuntimeError, match="jaxm"):
+        loaded._build_video_fn()

@@ -60,6 +60,7 @@ class InferenceEngine:
         self.image_size = image_size
         self.input_rank = input_rank
         self.mesh = mesh
+        self.labels = None  # optional class labels (set from .jaxm sidecars)
         assert gather in ("device", "host"), gather
         self.gather = gather
         if mesh is not None:
@@ -68,6 +69,35 @@ class InferenceEngine:
                 f"window_batch {window_batch} must divide data axis {n}"
         self._fn = self._build()
         self._video_fn = None  # lazily-built fused gather+normalize+model
+
+    @classmethod
+    def from_exported(cls, path: str) -> "InferenceEngine":
+        """Engine over a deployed ``.jaxm`` artifact (utils/export) — the
+        serving analog of the reference loading a ``.onnx`` into
+        onnxruntime (app/inference.py:51). The artifact bakes weights,
+        the fused normalize, AND its input shape, so ``window_batch``/
+        ``image_size`` come from its sidecar; the device-side video
+        gather needs the live model and is unavailable (``gather='host'``
+        paths — score_windows / score_images / gather_windows — all
+        work)."""
+        from workoutdetector_tpu.utils.export import load_exported
+        art = load_exported(path)
+        shape = art.input_shape
+        assert len(shape) in (4, 5, 6), f"bad artifact input rank: {shape}"
+        self = cls.__new__(cls)
+        self.model = None
+        self.variables = None
+        self.mesh = None
+        self.gather = "host"
+        self.labels = art.meta.get("labels")
+        self.window_batch = int(shape[0])
+        self.input_rank = len(shape)
+        self.num_segments = int(shape[1]) if len(shape) > 4 else 1
+        self.image_size = int(shape[-3])
+        # the artifact already contains the uint8→normalize→logits graph
+        self._fn = lambda x_u8: art(x_u8)
+        self._video_fn = None
+        return self
 
     def _build(self):
         model = self.model
@@ -163,6 +193,11 @@ class InferenceEngine:
     _T_BUCKET = 128  # video length rounded up to this → few compiles
 
     def _build_video_fn(self):
+        if self.model is None:
+            raise RuntimeError(
+                "device-side video gather needs the live model; an engine "
+                "loaded from a .jaxm artifact scores via score_windows "
+                "(host gather) only")
         model, variables = self.model, self.variables
         from workoutdetector_tpu.ops.preprocess import preprocess_windows
 

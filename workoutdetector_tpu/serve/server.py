@@ -327,6 +327,13 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     cfg = load_config(args.cfg, args.opts)
     cfg.model.num_class = args.num_class
+    if args.checkpoint and args.checkpoint.endswith(".jaxm"):
+        # deployed artifact: weights + fused preprocessing baked in —
+        # the reference's serve-from-.onnx path (app/inference.py:51)
+        engine = InferenceEngine.from_exported(args.checkpoint)
+        WorkoutServer(engine, labels=engine.labels,
+                      http_port=args.port).run()
+        return
     model = build_model(cfg.model)
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            example_input(cfg.model), train=False)
