@@ -90,6 +90,9 @@ def main() -> None:
                         help="count-similarity: training-free periodicity "
                              "counter (no checkpoint needed)")
     parser.add_argument("--cfg", default=None)
+    parser.add_argument("--checkpoint", default=None,
+                        help="orbax checkpoint dir or .jaxm artifact "
+                             "(reference demo loads .onnx, demo.py:62-72)")
     parser.add_argument("-o", "--output", default=None,
                         help="annotated video output path")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -116,11 +119,22 @@ def main() -> None:
         return
     if args.task == "recognize":
         cfg.model.num_class = len(WORKOUT_LABELS)
-    model = build_model(cfg.model)
-    variables = model.init({"params": jax.random.PRNGKey(0)},
-                           example_input(cfg.model), train=False)
-    engine = InferenceEngine(model, variables,
-                             num_segments=cfg.model.num_segments)
+    if args.checkpoint and args.checkpoint.endswith(".jaxm"):
+        engine = InferenceEngine.from_exported(args.checkpoint)
+    else:
+        model = build_model(cfg.model)
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               example_input(cfg.model), train=False)
+        if args.checkpoint:
+            import os as _os
+            from workoutdetector_tpu.train.checkpoint import CheckpointManager
+            mgr = CheckpointManager(_os.path.dirname(args.checkpoint) or ".")
+            restored = mgr.restore_variables(args.checkpoint)
+            variables = {"params": restored["params"],
+                         "batch_stats": restored.get(
+                             "batch_stats", variables.get("batch_stats", {}))}
+        engine = InferenceEngine(model, variables,
+                                 num_segments=cfg.model.num_segments)
     if args.task == "count":
         count, reps = inference_video_reps(engine, args.video, args.output)
         print(json.dumps({"count": count, "reps": reps}))
