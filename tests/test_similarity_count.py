@@ -92,3 +92,55 @@ def test_count_by_similarity_on_video():
     assert count == n_reps
     assert abs(p - period) <= 2
     assert strength > 0.1
+
+
+def test_eval_dataset_similarity_mode(tmp_path):
+    """eval_dataset(model_type='similarity'): the training-free counter
+    sweeps a synthetic RepCount split and scores MAE 0 / OBO 1 — an
+    actual accuracy number for the checkpoint-free path."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from workoutdetector_tpu.infer import InferenceEngine, eval_dataset
+    from workoutdetector_tpu.models.resnet import resnet18
+
+    data_root = tmp_path / "RepCount"
+    (data_root / "videos" / "test").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    rows = []
+    for v, (n_reps, half) in enumerate([(2, 24), (4, 15)]):
+        name = f"s{v}.mp4"
+        w = cv2.VideoWriter(str(data_root / "videos" / "test" / name),
+                            cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 64))
+        reps, f = [], 0
+        for _ in range(n_reps):
+            reps.append(f)
+            for val in (45, 215):
+                for _ in range(half):
+                    fr = np.full((64, 64, 3), val, np.uint8)
+                    fr += rng.integers(0, 8, fr.shape, dtype=np.uint8)
+                    w.write(fr)
+                    f += 1
+            reps.append(f - half)
+        w.release()
+        rows.append(dict(name=name, class_="squat", split="test",
+                         count=n_reps, reps=" ".join(map(str, reps)),
+                         vid=name, start=0, end=f))
+    anno = data_root / "annotation.csv"
+    pd.DataFrame(rows).to_csv(anno)
+
+    net = resnet18(num_classes=0, dtype=jnp.float32)
+    variables = net.init({"params": jax.random.PRNGKey(0)},
+                         jnp.zeros((1, 32, 32, 3)), train=False)
+    feat_engine = InferenceEngine(net, dict(variables), image_size=32,
+                                  input_rank=4, window_batch=16)
+    mae, obo = eval_dataset(feat_engine, ["squat"], "test",
+                            str(data_root), str(anno),
+                            model_type="similarity",
+                            output_dir=str(tmp_path / "out"))
+    assert mae == 0.0 and obo == 1.0
+    import os
+    assert os.path.isfile(
+        tmp_path / "out" / "eval_count_similarity_model.csv")

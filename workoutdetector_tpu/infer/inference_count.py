@@ -249,10 +249,14 @@ def eval_dataset(engine: InferenceEngine,
     background semantics (the reference's own code accepts but ignores
     it, :197-243); pass threshold=0 to reproduce the reference's actual
     behavior bit-for-bit.
+
+    model_type='similarity' (beyond reference) evaluates the
+    training-free periodicity counter — ``engine`` must then be a
+    features_only engine (input_rank=4).
     """
     if anno_path is None:
         anno_path = os.path.join(data_root, "annotation.csv")
-    if model_type not in ("video", "image"):
+    if model_type not in ("video", "image", "similarity"):
         raise ValueError(f"Invalid model type: {model_type}")
     helper = RepcountHelper(data_root, anno_path)
     items = helper.get_rep_data(split=[split], action=action)
@@ -261,7 +265,9 @@ def eval_dataset(engine: InferenceEngine,
         out_path = None
         if save_video and output_dir is not None:
             out_path = os.path.join(output_dir, name)
-        if model_type == "video":
+        if model_type == "similarity":
+            count, _, _ = count_by_similarity(engine, item.video_path)
+        elif model_type == "video":
             count, _ = count_by_video_model(engine, item.video_path,
                                             ground_truth=item.reps,
                                             video_out_path=out_path)
