@@ -303,3 +303,36 @@ def test_ws_broken_model_sends_error_frame():
                 pass
 
     asyncio.run(drive())
+
+
+def test_batcher_rolling_deadline_coalesces_staggered_wave():
+    """A wave of arrivals staggered tighter than max_delay coalesces into
+    ONE flush (the rolling quiet window), while a fixed window would have
+    split it; a gap wider than max_delay starts a new batch."""
+    import time as _time
+
+    calls = []
+
+    def score_fn(arr):
+        calls.append(arr.shape[0])
+        return np.tile(np.arange(2, dtype=np.float32), (arr.shape[0], 1))
+
+    batcher = AsyncBatcher(score_fn, max_batch=16, max_delay_ms=50,
+                           stretch=6.0)
+
+    async def drive():
+        async def one(delay_s):
+            await asyncio.sleep(delay_s)
+            return await batcher.score(np.zeros((2, 2, 3), np.uint8))
+
+        # wave: 5 requests 30 ms apart (each gap < 50 ms quiet window,
+        # total 120 ms > the 50 ms fixed window of the old behavior)
+        out = await asyncio.gather(*[one(0.03 * i) for i in range(5)])
+        assert len(out) == 5
+        await asyncio.sleep(0.15)  # > max_delay: next request = new batch
+        await batcher.score(np.zeros((2, 2, 3), np.uint8))
+        await batcher.stop()
+
+    asyncio.run(drive())
+    assert calls[0] == 5, calls   # whole wave in one flush
+    assert calls[1] == 1, calls
