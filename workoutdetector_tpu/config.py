@@ -199,6 +199,11 @@ class ModelConfig(ConfigNode):
     mlp_ratio: float = 4.0
     attention_type: str = "divided_space_time"
     drop_path_rate: float = 0.0
+    # sequence parallelism (TimeSformer divided attention only): shard the
+    # token dims over the mesh 'model' axis — patches (P) during temporal
+    # attention, frames (T) during spatial attention; GSPMD inserts the
+    # all-to-alls at the layout alternation. No reference analog (DP-only).
+    seq_parallel: bool = False
     # TPU specifics
     dtype: str = "bfloat16"  # compute dtype; params stay fp32
     shift_impl: str = "xla"  # xla | pallas

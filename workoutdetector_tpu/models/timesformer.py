@@ -35,6 +35,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.sharding import PartitionSpec as P
+
+from workoutdetector_tpu.parallel.mesh import seq_constrain
 
 # ViT variants accepted as TimeSformer backbones: (embed, depth, heads)
 VIT_VARIANTS = {
@@ -114,6 +117,7 @@ class DividedBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    seq_mesh: Any = None  # sequence parallelism: (data, model) Mesh or None
 
     @nn.compact
     def __call__(self, cls_tok: jnp.ndarray, patches: jnp.ndarray,
@@ -122,6 +126,14 @@ class DividedBlock(nn.Module):
         det = not train or self.drop_path == 0.0
         rngs = (None, None, None) if det else \
             tuple(self.make_rng("dropout") for _ in range(3))
+
+        # sequence parallelism: patch-major layout shards P over 'model' —
+        # temporal attention (rows = (b,p) pairs, length T) is then fully
+        # local per device; the transpose to frame-major below becomes the
+        # all-to-all GSPMD inserts. The layout alternation IS the
+        # communication pattern.
+        patches = seq_constrain(patches, self.seq_mesh,
+                                P("data", "model", None, None), dims=(0, 1))
 
         # temporal attention per patch location (over T), output through a
         # zero-init projection: the block starts as a spatial-only ViT
@@ -134,8 +146,13 @@ class DividedBlock(nn.Module):
                      bias_init=nn.initializers.zeros)(y)
         patches = patches + y
 
-        # spatial attention per frame, cls replicated per frame
-        sp = patches.transpose(0, 2, 1, 3).reshape(b * t, p, d)
+        # spatial attention per frame, cls replicated per frame; under
+        # sequence parallelism the frame-major layout shards T over
+        # 'model' so per-frame attention over all P is local again
+        sp4 = patches.transpose(0, 2, 1, 3)  # (b, t, p, d)
+        sp4 = seq_constrain(sp4, self.seq_mesh,
+                            P("data", "model", None, None), dims=(0, 1))
+        sp = sp4.reshape(b * t, p, d)
         cls_rep = jnp.broadcast_to(cls_tok[:, None], (b, t, 1, d))
         sp = jnp.concatenate([cls_rep.reshape(b * t, 1, d), sp], axis=1)
         sp = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="s_norm")(sp)
@@ -144,6 +161,8 @@ class DividedBlock(nn.Module):
         sp = _drop_path(sp, self.drop_path, det, rngs[1])
         cls_res = jnp.mean(sp[:, 0].reshape(b, t, d), axis=1, keepdims=True)
         sp_res = sp[:, 1:].reshape(b, t, p, d).transpose(0, 2, 1, 3)
+        sp_res = seq_constrain(sp_res, self.seq_mesh,
+                               P("data", "model", None, None), dims=(0, 1))
         cls_tok = cls_tok + cls_res
         patches = patches + sp_res
 
@@ -212,6 +231,11 @@ class TimeSformer(nn.Module):
     attn_dropout: float = 0.0
     drop_path_rate: float = 0.0
     dtype: Any = jnp.float32
+    # sequence parallelism (divided attention only): a (data, model) Mesh
+    # pins token-dim layouts — P sharded over 'model' during temporal
+    # attention, T during spatial — and GSPMD inserts the all-to-alls.
+    # None (default) = no constraints; cfg.model.seq_parallel wires it.
+    seq_mesh: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -253,6 +277,7 @@ class TimeSformer(nn.Module):
                 cls_tok, patches = DividedBlock(
                     d, self.num_heads, self.mlp_ratio, self.dtype,
                     self.dropout, self.attn_dropout, float(dprs[i]),
+                    seq_mesh=self.seq_mesh,
                     name=f"block_{i}")(cls_tok, patches, train)
             feat = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                 name="norm")(cls_tok[:, 0])

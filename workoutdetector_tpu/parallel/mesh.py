@@ -85,6 +85,30 @@ def state_sharding(state: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(rule, state)
 
 
+def seq_constrain(x: jax.Array, mesh: Optional[Mesh], spec: P,
+                  dims: Sequence[int] = ()) -> jax.Array:
+    """``with_sharding_constraint`` with divisibility guards — the hook
+    sequence-parallel models use to pin activation layouts.
+
+    ``dims`` lists the dims of ``x`` whose spec entry must divide the
+    corresponding mesh axis size (product of sizes for a tuple entry); any
+    non-divisible dim makes the whole constraint a no-op rather than an
+    XLA error, so the same model code runs on (n, 1) and (n/2, 2) meshes
+    and on tiny test shapes. No-mesh ⇒ identity.
+    """
+    if mesh is None:
+        return x
+    for d in dims:
+        entry = spec[d]
+        if entry is None:
+            continue
+        axes = entry if isinstance(entry, tuple) else (entry,)
+        n = int(np.prod([mesh.shape[a] for a in axes]))
+        if n > 1 and x.shape[d] % n != 0:
+            return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
 def local_batch_size(global_batch: int, mesh: Mesh, axis: str = "data") -> int:
     n = mesh.shape[axis]
     assert global_batch % n == 0, \

@@ -63,9 +63,14 @@ class Trainer:
 
     def __init__(self, cfg: Config, mesh: Optional[jax.sharding.Mesh] = None):
         self.cfg = cfg
-        self.model = build_model(cfg.model)
         self.mesh = mesh if mesh is not None else create_mesh(
             model=cfg.parallel.model_axis)
+        self.model = build_model(cfg.model)
+        if getattr(cfg.model, "seq_parallel", False) and \
+                hasattr(self.model, "seq_mesh"):
+            # sequence parallelism: the model pins its token-dim layouts
+            # to this mesh (see models/timesformer.py seq_mesh)
+            self.model = self.model.clone(seq_mesh=self.mesh)
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.best_val_acc = 0.0
         self._step_fns: Dict[str, Any] = {}
