@@ -139,6 +139,62 @@ def test_static_index(server):
     assert "Workout Detector" in html
 
 
+def test_static_no_path_traversal(server):
+    """'..' segments must not escape the static root (urllib normalizes
+    paths, so speak raw HTTP)."""
+    s = socket.create_connection(("127.0.0.1", server.http_port), timeout=10)
+    try:
+        s.sendall(b"GET /../../../../../../etc/passwd HTTP/1.1\r\n"
+                  b"Host: x\r\nConnection: close\r\n\r\n")
+        resp = b""
+        while True:
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            resp += chunk
+    finally:
+        s.close()
+    status = resp.split(b"\r\n", 1)[0]
+    assert b"404" in status, status
+    assert b"root:" not in resp
+
+
+def _post_video(port: int, lum: int, tmp_path, name: str):
+    import cv2
+    path = tmp_path / name
+    w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                        (64, 64))
+    for _ in range(20):
+        w.write(np.full((64, 64, 3), lum, np.uint8))
+    w.release()
+    data = open(path, "rb").read()
+
+    def post():
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/video", data=data, method="POST")
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return json.loads(resp.read())
+
+    return post
+
+
+def test_post_video_concurrent_uploads(server, tmp_path):
+    """Concurrent uploads must each score their own bytes (a shared temp
+    path would let one upload overwrite the other mid-score)."""
+    from concurrent.futures import ThreadPoolExecutor
+    post_a = _post_video(server.http_port, 30, tmp_path, "a.mp4")
+    post_b = _post_video(server.http_port, 220, tmp_path, "b.mp4")
+    serial_a, serial_b = post_a(), post_b()
+    assert serial_a["success"] and serial_b["success"]
+    # ConstModel scores are mean-dependent ⇒ the two videos disagree
+    assert serial_a["data"] != serial_b["data"]
+    with ThreadPoolExecutor(4) as pool:
+        futs = [pool.submit(p) for p in (post_a, post_b, post_a, post_b)]
+        conc = [f.result() for f in futs]
+    assert conc[0]["data"] == serial_a["data"] == conc[2]["data"]
+    assert conc[1]["data"] == serial_b["data"] == conc[3]["data"]
+
+
 def test_async_batcher_coalesces():
     calls = []
 

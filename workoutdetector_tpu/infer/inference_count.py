@@ -241,14 +241,16 @@ def eval_dataset(engine: InferenceEngine,
                  output_dir: Optional[str] = None,
                  csv_name: Optional[str] = None,
                  save_video: bool = False,
-                 threshold: float = 0.7) -> Tuple[float, float]:
+                 threshold: float = 0.0) -> Tuple[float, float]:
     """Per-video counting over a split → helper.eval_count MAE/OBO + CSV.
 
     Matches reference eval_dataset (:424-512). ``threshold`` flows to the
     image counter with the reference's *documented* below-threshold →
-    background semantics (the reference's own code accepts but ignores
-    it, :197-243); pass threshold=0 to reproduce the reference's actual
-    behavior bit-for-bit.
+    background semantics (frames whose max softmax score falls below it
+    count as background). The reference's own code accepts threshold=0.7
+    but never applies it (:197-243), so the DEFAULT here is 0 — a default
+    run reproduces the reference's actual counts bit-for-bit; pass e.g.
+    0.7 to opt into the documented semantics.
 
     model_type='similarity' (beyond reference) evaluates the
     training-free periodicity counter — ``engine`` must then be a

@@ -88,8 +88,12 @@ def extract_dataset(video_paths: List[str], out_path: str,
                     pose_checkpoint: Optional[str] = None,
                     detector: Optional[Any] = None) -> List[Dict[str, Any]]:
     """Batch extraction → one pickle (the reference's per-split pkl)."""
+    if pose_estimator is None and pose_checkpoint is not None:
+        # load once: per-video loading would re-init and re-jit the pose
+        # model (a fresh XLA compile) for every item in the split
+        from workoutdetector_tpu.models.pose import PoseEstimator
+        pose_estimator = PoseEstimator.load(pose_checkpoint)
     items = [inference_one_video(p, pose_estimator=pose_estimator,
-                                 pose_checkpoint=pose_checkpoint,
                                  detector=detector)
              for p in video_paths]
     with open(out_path, "wb") as f:

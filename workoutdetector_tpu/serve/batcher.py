@@ -59,8 +59,13 @@ class AsyncBatcher:
         if self._task is not None and self._loop is not loop:
             # the server was restarted on a new event loop: the old
             # collector (and its loop-bound queue) are dead — rebuild them
-            # or every score() would await a future nothing will resolve
-            self._task.cancel()
+            # or every score() would await a future nothing will resolve.
+            # cancel() on a task bound to a closed foreign loop can raise
+            # (call_soon on a closed loop); the rebuild must happen anyway
+            try:
+                self._task.cancel()
+            except RuntimeError:
+                pass
             self._task = None
         if self._task is None:
             self._loop = loop

@@ -232,15 +232,24 @@ class WorkoutServer:
                     if not data:
                         self._send_json({"msg": "No video"})
                         return
-                    path = os.path.join(tempfile.gettempdir(), "wd_upload.mp4")
-                    with open(path, "wb") as f:
+                    # per-request temp file: ThreadingHTTPServer handles
+                    # requests concurrently — a shared path would let one
+                    # upload overwrite another mid-score
+                    with tempfile.NamedTemporaryFile(
+                            suffix=".mp4", delete=False) as f:
                         f.write(data)
+                        path = f.name
                     try:
                         self._send_json(server.inference_video_file(path))
                     except Exception as e:
                         log.exception("POST /video failed: %s", e)
                         self._send_json({"success": False,
                                          "msg": f"server error: {e}"}, 500)
+                    finally:
+                        try:
+                            os.remove(path)
+                        except OSError:
+                            pass
                 elif self.path.rstrip("/") == "/image":
                     self._send_json({"msg": "Deprecated"})
                 else:
@@ -250,8 +259,14 @@ class WorkoutServer:
                 path = self.path.split("?")[0]
                 if path == "/":
                     path = "/index.html"
-                fs_path = os.path.join(STATIC_DIR, path.lstrip("/"))
-                if os.path.isfile(fs_path):
+                fs_path = os.path.realpath(
+                    os.path.join(STATIC_DIR, path.lstrip("/")))
+                # containment check: '..' segments (curl --path-as-is)
+                # must not escape the static root
+                if not fs_path.startswith(
+                        os.path.realpath(STATIC_DIR) + os.sep):
+                    self._send_json({"msg": "Not found"}, 404)
+                elif os.path.isfile(fs_path):
                     with open(fs_path, "rb") as f:
                         body = f.read()
                     self.send_response(200)

@@ -44,8 +44,12 @@ def video_cnn_features(engine: Any, video_path: str,
         (T, D) feature array.
     """
     from workoutdetector_tpu.data.video import VideoReader
+    # scale tracks the crop (224-crop ⇒ 256-scale convention): a fixed
+    # 256 with a small crop (e.g. the 64-px feature engine) would keep
+    # only the central ~6% of the frame and miss off-center motion
+    scale = max(engine.image_size, round(engine.image_size * 256 / 224))
     with VideoReader(video_path) as r:
-        frames = r.read_prepped(256, engine.image_size)
+        frames = r.read_prepped(scale, engine.image_size)
     return engine.score_images(frames)
 
 
