@@ -181,3 +181,62 @@ def test_tsm_identity_consensus():
     v = model.init(jax.random.PRNGKey(0), x)
     y = model.apply(v, x)
     assert y.shape == (2, 4, 5)
+
+
+def test_tdn_partial_bn_freezes_stats():
+    """partial_bn must freeze BN running stats model-side for TDN too —
+    the optimizer freezes the same BNs' scale/bias (optim 'frozen'
+    labels), and stats drifting under pinned affine breaks ported
+    checkpoints. The RGB stem bn1 (the one live BN) must still update."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(2.0, 1.0, (1, 2, 5, SMALL, SMALL, 3))
+                    .astype(np.float32))
+    model = TDN(num_class=2, num_segments=2, partial_bn=True, dropout=0.0)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    _, updated = model.apply(variables, x, train=True,
+                             mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(1)})
+    old, new = variables["batch_stats"], updated["batch_stats"]
+    assert not np.allclose(np.asarray(old["bn1"]["mean"]),
+                           np.asarray(new["bn1"]["mean"]))
+    for frozen_key in ("bn1_5",):
+        np.testing.assert_array_equal(np.asarray(old[frozen_key]["mean"]),
+                                      np.asarray(new[frozen_key]["mean"]))
+    np.testing.assert_array_equal(
+        np.asarray(old["layer1_0"]["bn1"]["mean"]),
+        np.asarray(new["layer1_0"]["bn1"]["mean"]))
+    np.testing.assert_array_equal(
+        np.asarray(old["layer2_0"]["mse"]["bn1"]["mean"]),
+        np.asarray(new["layer2_0"]["mse"]["bn1"]["mean"]))
+
+    # and without partial_bn everything updates
+    model2 = TDN(num_class=2, num_segments=2, partial_bn=False, dropout=0.0)
+    v2 = model2.init(jax.random.PRNGKey(0), x)
+    _, up2 = model2.apply(v2, x, train=True, mutable=["batch_stats"],
+                          rngs={"dropout": jax.random.PRNGKey(1)})
+    assert not np.allclose(
+        np.asarray(v2["batch_stats"]["layer1_0"]["bn1"]["mean"]),
+        np.asarray(up2["batch_stats"]["layer1_0"]["bn1"]["mean"]))
+
+
+def test_tpn_partial_bn_freezes_stats():
+    from workoutdetector_tpu.models.tpn import TPN
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(2.0, 1.0, (1, 4, SMALL, SMALL, 3))
+                    .astype(np.float32))
+    model = TPN(num_class=2, num_segments=4, base_model="resnet18",
+                partial_bn=True, dropout=0.0)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    _, updated = model.apply(variables, x, train=True,
+                             mutable=["batch_stats", "intermediates"],
+                             rngs={"dropout": jax.random.PRNGKey(1)})
+    old, new = variables["batch_stats"], updated["batch_stats"]
+    # backbone stem live, backbone body + neck frozen
+    assert not np.allclose(np.asarray(old["backbone"]["bn1"]["mean"]),
+                           np.asarray(new["backbone"]["bn1"]["mean"]))
+    np.testing.assert_array_equal(
+        np.asarray(old["backbone"]["layer1_0"]["bn1"]["mean"]),
+        np.asarray(new["backbone"]["layer1_0"]["bn1"]["mean"]))
+    np.testing.assert_array_equal(
+        np.asarray(old["pyramid_fusion"]["bn"]["mean"]),
+        np.asarray(new["pyramid_fusion"]["bn"]["mean"]))

@@ -118,3 +118,59 @@ def test_resume_from_checkpoint(tmp_path):
     trainer2 = Trainer(cfg2)
     state2, _ = trainer2.fit(ckpt_dir=str(tmp_path / "ckpts2"))
     assert int(state2.step) > step_after
+
+
+def test_eval_keeps_tail_partial_batch(tmp_path):
+    """drop_last=False eval: a val split not divisible by batch_size must
+    still count EVERY sample (the tail batch is padded with label -1 and
+    masked in the eval step); the reference evaluates drop_last=False."""
+    cfg = small_cfg(tmp_path, batch=8)
+    cfg.data.debug_size = 13  # 13 = 8 + padded tail of 5
+    trainer = Trainer(cfg)
+    state = trainer.init_state(steps_per_epoch=1, image_size=16)
+    loader = trainer._loader("val", shuffle=False)
+    assert len(loader) == 2
+    seen = 0
+    for x, y in loader:
+        assert x.shape[0] == 8  # static shape preserved
+        seen += int((np.asarray(y) >= 0).sum())
+    assert seen == 13
+    metrics = trainer.evaluate(state, loader)
+    assert metrics["n"] == 13
+
+
+def test_eval_smaller_than_batch_not_empty(tmp_path):
+    """A val split smaller than batch_size used to evaluate to nothing
+    (acc 0.0) and overwrite 'best' every epoch."""
+    cfg = small_cfg(tmp_path, batch=8)
+    cfg.data.debug_size = 5
+    trainer = Trainer(cfg)
+    state = trainer.init_state(steps_per_epoch=1, image_size=16)
+    metrics = trainer.evaluate(state, trainer._loader("val", shuffle=False))
+    assert metrics["n"] == 5
+
+
+def test_grad_accum_schedule_counts_update_steps(tmp_path):
+    """The LR schedule must be sized in OPTIMIZER updates: under
+    optax.MultiSteps(k) the inner schedule advances once per k
+    micro-steps, so without the correction warmup/decay stretch by k."""
+    base = small_cfg(tmp_path, batch=8)
+    base.lr_scheduler.policy = "cosine"
+    base.trainer.max_epochs = 2
+
+    def final_lr(accum):
+        cfg = small_cfg(tmp_path, batch=8)
+        cfg.lr_scheduler.policy = "cosine"
+        cfg.trainer.max_epochs = 2
+        cfg.trainer.grad_accum_steps = accum
+        trainer = Trainer(cfg)
+        trainer.init_state(steps_per_epoch=8)
+        total_updates = 2 * (8 // accum if accum > 1 else 8)
+        return float(trainer.schedule(total_updates))
+
+    # after all of training's updates both schedules must have fully
+    # annealed (before the fix, the accum run had consumed only 1/4 of
+    # its cosine and sat ~15x higher)
+    lr_plain = final_lr(1)
+    lr_accum = final_lr(4)
+    assert abs(lr_plain - lr_accum) < 1e-6, (lr_plain, lr_accum)

@@ -248,3 +248,33 @@ def test_compare_scores(tmp_path):
     _json.dump({"scores": scores2}, open(b / "v.score.json", "w"))
     res2 = compare_dirs(str(a), str(b))
     assert abs(res2["max_abs_score_delta"] - 0.05) < 1e-9
+
+
+def test_video_reader_chunked_native_decode(tmp_path):
+    """The native decode paths allocate from the container's frame count
+    in bounded chunks (a flat 100k-frame preallocation was ~600 GB for
+    HD sources). Forcing tiny chunks must give bit-identical frames."""
+    import cv2
+
+    from workoutdetector_tpu.data.video import VideoReader
+
+    p = tmp_path / "chunks.mp4"
+    w = cv2.VideoWriter(str(p), cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 48))
+    for i in range(37):
+        w.write(np.full((48, 64, 3), (i * 5) % 256, np.uint8))
+    w.release()
+
+    with VideoReader(str(p)) as r:
+        whole = r.read_raw()
+    assert whole.shape[0] == 37 and whole.shape[1:] == (48, 64, 3)
+
+    class Tiny(VideoReader):
+        _CHUNK_BYTES = 48 * 64 * 3 * 4  # 4 frames per chunk
+
+    with Tiny(str(p)) as r:
+        chunked = r.read_raw()
+    np.testing.assert_array_equal(whole, chunked)
+
+    with Tiny(str(p)) as r:
+        prepped = r.read_prepped(scale=48, crop=32, max_frames=10)
+    assert prepped.shape == (10, 32, 32, 3)

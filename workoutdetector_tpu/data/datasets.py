@@ -252,7 +252,11 @@ def build_dataset(cfg: DataConfig, split: str):
                             image_size=cfg.image_size)
     split_cfg = getattr(cfg, split)
     person_crop = None
-    if split_cfg.person_crop:
+    # person crop is a TEST-pipeline transform (reference build.py:26-28:
+    # only the is_test path threads person_crop); don't pay the detector
+    # construction (learned backend = checkpoint load + model init) for a
+    # train split that would never apply it
+    if split_cfg.person_crop and is_test:
         from workoutdetector_tpu.data.person import Detector, PersonCrop
         person_crop = PersonCrop(Detector(
             backend=getattr(cfg, "person_backend", "motion"),

@@ -27,8 +27,12 @@ class DataLoader:
         shuffle: reshuffle each epoch (seeded).
         num_workers: decode threads.
         seed: base seed; per-item rng = default_rng(seed*1e6 + epoch*len + idx).
-        drop_last: always True behavior for static shapes (kept as arg for
-            API parity).
+        drop_last: True (train) drops the tail partial batch. False (eval)
+            KEEPS every sample while preserving static shapes: the tail
+            batch is zero-padded to batch_size with sentinel label -1 —
+            consumers must mask y < 0 (the eval step does). The reference
+            evaluates with drop_last=False; silently dropping up to
+            batch_size-1 val samples would skew accuracy.
     """
 
     def __init__(self,
@@ -45,10 +49,13 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.prefetch = prefetch
+        self.drop_last = drop_last
         self.epoch = 0
 
     def __len__(self) -> int:
-        return len(self.dataset) // self.batch_size
+        if self.drop_last:
+            return len(self.dataset) // self.batch_size
+        return -(-len(self.dataset) // self.batch_size)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -66,7 +73,7 @@ class DataLoader:
         order = np.arange(n)
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
-        n_batches = n // self.batch_size
+        n_batches = len(self)
         if n_batches == 0:
             return
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -82,6 +89,14 @@ class DataLoader:
                         items = list(pool.map(self._fetch, idxs))
                         xs = np.stack([it[0] for it in items])
                         ys = np.asarray([it[1] for it in items], dtype=np.int32)
+                        pad = self.batch_size - len(items)
+                        if pad:  # tail batch (drop_last=False): keep the
+                            # compiled shape, mark pad rows with label -1
+                            xs = np.concatenate(
+                                [xs, np.zeros((pad,) + xs.shape[1:],
+                                              xs.dtype)])
+                            ys = np.concatenate(
+                                [ys, np.full((pad,), -1, np.int32)])
                         while not stop.is_set():
                             try:
                                 out_q.put((xs, ys), timeout=0.5)

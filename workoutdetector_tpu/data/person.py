@@ -75,9 +75,20 @@ class Detector:
         else:
             self._fn = backend
 
-    def detect(self, frames: np.ndarray, threshold: float = 0.0
-               ) -> List[np.ndarray]:
-        """frames (T, H, W, 3) uint8 → list of (N_t, 4) box arrays."""
+    def detect(self, frames: np.ndarray,
+               threshold: Optional[float] = None) -> List[np.ndarray]:
+        """frames (T, H, W, 3) uint8 → list of (N_t, 4) box arrays.
+
+        ``threshold`` is the minimum detection confidence, forwarded to
+        backends that score their boxes (the learned backend). The
+        motion backend produces unscored saliency boxes, so it has no
+        threshold to apply.
+        """
+        if threshold is not None:
+            try:
+                return self._fn(frames, threshold=threshold)
+            except TypeError:
+                pass  # backend without confidence scores
         return self._fn(frames)
 
 

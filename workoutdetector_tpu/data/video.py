@@ -119,29 +119,56 @@ class VideoReader:
                 int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH)))
 
     # ---------------- decode ---------------- #
+    # per-chunk allocation cap for the native paths: the decoder streams,
+    # so buffers are sized from the container's frame count (bounded by
+    # this) instead of preallocating max_frames × frame — an HD video at
+    # the old flat 100k-frame buffer would have requested ~600 GB.
+    _CHUNK_BYTES = 512 * 1024 * 1024
+
+    def _native_read(self, fill, frame_shape, max_frames: int) -> np.ndarray:
+        """Chunked native decode: ``fill(ptr, n) -> frames_written``.
+        Chunks continue from the stream position, so a container that
+        understates frame_count still decodes fully (up to max_frames)."""
+        frame_bytes = int(np.prod(frame_shape))
+        cap = max(1, self._CHUNK_BYTES // max(frame_bytes, 1))
+        est = self.frame_count
+        chunk_n = min(max_frames, est if est > 0 else 1024, cap)
+        chunks = []
+        total = 0
+        while total < max_frames:
+            chunk_n = max(1, min(chunk_n, max_frames - total))
+            buf = np.empty((chunk_n,) + tuple(frame_shape), dtype=np.uint8)
+            n = fill(buf.ctypes.data_as(ctypes.c_void_p), chunk_n)
+            if n < 0:
+                raise IOError(f"native decode failed for {self.path}")
+            chunks.append(buf[:n])
+            total += n
+            if n < chunk_n:
+                break
+            chunk_n = min(1024, cap)
+        if not chunks:
+            return np.empty((0,) + tuple(frame_shape), np.uint8)
+        if len(chunks) == 1:
+            return np.ascontiguousarray(chunks[0])
+        return np.concatenate(chunks)
+
     def read_prepped(self, scale: int = 256, crop: int = 224,
                      max_frames: int = 100_000) -> np.ndarray:
         """Decode all frames → (T, crop, crop, 3) RGB uint8."""
         if self._lib is not None:
-            buf = np.empty((max_frames, crop, crop, 3), dtype=np.uint8)
-            n = self._lib.wd_read_cropped(self._handle,
-                                          buf.ctypes.data_as(ctypes.c_void_p),
-                                          max_frames, scale, crop)
-            if n < 0:
-                raise IOError(f"native decode failed for {self.path}")
-            return np.ascontiguousarray(buf[:n])
+            return self._native_read(
+                lambda ptr, n: self._lib.wd_read_cropped(
+                    self._handle, ptr, n, scale, crop),
+                (crop, crop, 3), max_frames)
         return self._cv2_read(scale, crop, max_frames)
 
     def read_raw(self, max_frames: int = 100_000) -> np.ndarray:
         """Decode all frames at source resolution → (T, H, W, 3) RGB uint8."""
         if self._lib is not None:
             h, w = self.dims
-            buf = np.empty((max_frames, h, w, 3), dtype=np.uint8)
-            n = self._lib.wd_read_raw(self._handle,
-                                      buf.ctypes.data_as(ctypes.c_void_p), max_frames)
-            if n < 0:
-                raise IOError(f"native decode failed for {self.path}")
-            return np.ascontiguousarray(buf[:n])
+            return self._native_read(
+                lambda ptr, n: self._lib.wd_read_raw(self._handle, ptr, n),
+                (h, w, 3), max_frames)
         import cv2
         frames = []
         while len(frames) < max_frames:

@@ -210,7 +210,8 @@ class LearnedDetectorBackend:
 
         self._fn = run
 
-    def __call__(self, clip: np.ndarray) -> List[np.ndarray]:
+    def __call__(self, clip: np.ndarray,
+                 threshold: Optional[float] = None) -> List[np.ndarray]:
         import cv2
         t, h, w = clip.shape[:3]
         s = self.input_size
@@ -228,8 +229,9 @@ class LearnedDetectorBackend:
             for key in outs:
                 outs[key].append(np.asarray(o[key])[:n])
         merged = {key: np.concatenate(v) for key, v in outs.items()}
-        per_frame = decode_boxes(merged, self.model.stride,
-                                 threshold=self.threshold)
+        per_frame = decode_boxes(
+            merged, self.model.stride,
+            threshold=self.threshold if threshold is None else threshold)
         sx, sy = w / s, h / s
         scale = np.asarray([sx, sy, sx, sy], np.float32)
         return [b[:, :4] * scale for b in per_frame]

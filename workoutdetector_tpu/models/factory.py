@@ -44,6 +44,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
                    base_model=cfg.base_model,
                    consensus_type=cfg.consensus_type,
                    dropout=cfg.dropout,
+                   partial_bn=cfg.partial_bn,
                    dtype=dtype)
     if mt == "tpn":
         # reference configs/tpn.py: ResNetTSM backbone (out_indices (2,3),
@@ -55,6 +56,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
                    is_shift=cfg.is_shift,
                    shift_div=cfg.shift_div,
                    dropout=cfg.dropout,
+                   partial_bn=cfg.partial_bn,
                    dtype=dtype)
     if mt == "timesformer":
         # reference configs/timesformer_div_8x4x1_k400.py:5-23 (mmaction

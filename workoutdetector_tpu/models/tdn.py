@@ -108,14 +108,16 @@ class MSEModule(nn.Module):
     n_segment: int = 8
     reduction: int = 16
     dtype: Any = jnp.float32
+    frozen_bn: bool = False  # partial-BN: stats frozen like the affine
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         bt, h, w, c = x.shape
         b = bt // self.n_segment
         r = self.channels // self.reduction
-        norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
-                       epsilon=1e-5, dtype=self.dtype)
+        norm = partial(nn.BatchNorm,
+                       use_running_average=(not train) or self.frozen_bn,
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype)
 
         bott = nn.Conv(r, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         bott = norm(name="bn1")(bott)
@@ -169,11 +171,13 @@ class TDNBottleneck(nn.Module):
     with_shift: bool = False
     dtype: Any = jnp.float32
     expansion: int = 4
+    frozen_bn: bool = False  # partial-BN: stats frozen like the affine
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
-                       epsilon=1e-5, dtype=self.dtype)
+        norm = partial(nn.BatchNorm,
+                       use_running_average=(not train) or self.frozen_bn,
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype)
         residual = x
         y = nn.Conv(self.filters, (1, 1), use_bias=True, dtype=self.dtype,
                     name="conv1")(x)
@@ -181,7 +185,7 @@ class TDNBottleneck(nn.Module):
         y = nn.relu(y)
         if self.with_shift:
             y = MSEModule(self.filters, n_segment=self.n_segment, dtype=self.dtype,
-                          name="mse")(y, train=train)
+                          frozen_bn=self.frozen_bn, name="mse")(y, train=train)
             y = TemporalShiftConv(self.filters, n_segment=self.n_segment,
                                   name="shift")(y)
         y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides),
@@ -200,7 +204,8 @@ class TDNBottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
-def _stage(x, *, name, filters, blocks, n_segment, strides, with_shift, dtype, train):
+def _stage(x, *, name, filters, blocks, n_segment, strides, with_shift,
+           dtype, train, frozen_bn=False):
     for j in range(blocks):
         s = strides if j == 0 else 1
         downsample = j == 0 and (s != 1 or x.shape[-1] != filters * 4)
@@ -210,6 +215,7 @@ def _stage(x, *, name, filters, blocks, n_segment, strides, with_shift, dtype, t
                           downsample=downsample,
                           with_shift=with_shift,
                           dtype=dtype,
+                          frozen_bn=frozen_bn,
                           name=f"{name}_{j}")(x, train=train)
     return x
 
@@ -232,6 +238,12 @@ class TDN(nn.Module):
     # fusion weights (reference tdn.py:189-192: 0.5/0.5 for 8 seg else 0.75/0.25)
     alpha: Optional[float] = None
     beta: Optional[float] = None
+    # partial-BN (reference TSN partialBN semantics): every BN except the
+    # RGB stem's bn1 runs in eval mode during training — running stats
+    # stay pinned, matching the optimizer's 'frozen' scale/bias labels
+    # (train/optim.classify_param). Without this the stats would drift
+    # while the affine stays frozen, breaking checkpoint-port accuracy.
+    partial_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -246,8 +258,14 @@ class TDN(nn.Module):
         alpha = self.alpha if self.alpha is not None else (0.5 if t == 8 else 0.75)
         beta = self.beta if self.beta is not None else (0.5 if t == 8 else 0.25)
         stages = TDN_STAGES[self.base_model]
+        # stem bn1 is the one BN partial-BN keeps live; bn1_5 (diff
+        # stem) freezes with the rest (optim._is_stem_bn keeps only bn1)
         norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
                        epsilon=1e-5, dtype=self.dtype)
+        frozen = self.partial_bn
+        norm_f = partial(nn.BatchNorm,
+                         use_running_average=(not train) or frozen,
+                         momentum=0.9, epsilon=1e-5, dtype=self.dtype)
 
         x = x.reshape(b * t, d, h, w, c).astype(self.dtype)
         frames = [x[:, i] for i in range(5)]  # 5 × (B*T, H, W, C)
@@ -258,13 +276,13 @@ class TDN(nn.Module):
         xd = nn.avg_pool(diffs, (2, 2), strides=(2, 2))
         xd = nn.Conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
                      dtype=self.dtype, name="conv1_5")(xd)
-        xd = norm(name="bn1_5")(xd)
+        xd = norm_f(name="bn1_5")(xd)
         xd = nn.relu(xd)
         xd = nn.max_pool(xd, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         temp_out_diff1 = xd
         xd = _stage(xd, name="resnext_layer1", filters=64, blocks=stages[0],
                     n_segment=t, strides=1, with_shift=False, dtype=self.dtype,
-                    train=train)
+                    train=train, frozen_bn=frozen)
 
         # RGB path on center frame (reference tdn.py:157-167)
         y = nn.Conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], use_bias=True,
@@ -275,15 +293,19 @@ class TDN(nn.Module):
         up1 = _nearest_resize(temp_out_diff1, y.shape)
         y = alpha * y + beta * up1
         y = _stage(y, name="layer1", filters=64, blocks=stages[0], n_segment=t,
-                   strides=1, with_shift=False, dtype=self.dtype, train=train)
+                   strides=1, with_shift=False, dtype=self.dtype, train=train,
+                   frozen_bn=frozen)
         up2 = _nearest_resize(xd, y.shape)
         y = alpha * y + beta * up2
         y = _stage(y, name="layer2", filters=128, blocks=stages[1], n_segment=t,
-                   strides=2, with_shift=True, dtype=self.dtype, train=train)
+                   strides=2, with_shift=True, dtype=self.dtype, train=train,
+                   frozen_bn=frozen)
         y = _stage(y, name="layer3", filters=256, blocks=stages[2], n_segment=t,
-                   strides=2, with_shift=True, dtype=self.dtype, train=train)
+                   strides=2, with_shift=True, dtype=self.dtype, train=train,
+                   frozen_bn=frozen)
         y = _stage(y, name="layer4", filters=512, blocks=stages[3], n_segment=t,
-                   strides=2, with_shift=True, dtype=self.dtype, train=train)
+                   strides=2, with_shift=True, dtype=self.dtype, train=train,
+                   frozen_bn=frozen)
 
         feat = jnp.mean(y, axis=(1, 2))  # (B*T, 2048)
         feat = nn.Dropout(self.dropout, deterministic=not train)(feat)

@@ -41,6 +41,7 @@ class ConvBN3D(nn.Module):
     use_bn: bool = True
     relu: bool = True
     dtype: Any = jnp.float32
+    frozen_bn: bool = False  # partial-BN: stats frozen like the affine
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -50,7 +51,8 @@ class ConvBN3D(nn.Module):
                     dtype=self.dtype, name="conv")(x)
         if self.use_bn:
             x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
-                             name="bn")(x, use_running_average=not train)
+                             name="bn")(
+                x, use_running_average=(not train) or self.frozen_bn)
         return nn.relu(x) if self.relu else x
 
 
@@ -60,15 +62,16 @@ class LevelFusion(nn.Module):
     mid: Sequence[int]
     out: int
     dtype: Any = jnp.float32
+    frozen_bn: bool = False
 
     @nn.compact
     def __call__(self, feats, train: bool = False) -> jnp.ndarray:
         outs = [ConvBN3D(m, (1, 1, 1), groups=32, dtype=self.dtype,
-                         name=f"down{i}")(f, train)
+                         frozen_bn=self.frozen_bn, name=f"down{i}")(f, train)
                 for i, (f, m) in enumerate(zip(feats, self.mid))]
         x = jnp.concatenate(outs, axis=-1)
         return ConvBN3D(self.out, (1, 1, 1), dtype=self.dtype,
-                        name="fusion")(x, train)
+                        frozen_bn=self.frozen_bn, name="fusion")(x, train)
 
 
 class TPN(nn.Module):
@@ -90,6 +93,9 @@ class TPN(nn.Module):
     dropout: float = 0.5
     aux_dropout: float = 0.5
     dtype: Any = jnp.float32
+    # partial-BN: freeze running stats of every BN except the backbone
+    # stem's, mirroring the optimizer's 'frozen' labels (train/optim)
+    partial_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -112,6 +118,7 @@ class TPN(nn.Module):
                           bottleneck=BOTTLENECK[self.base_model],
                           num_classes=0,
                           dtype=self.dtype,
+                          partial_bn=self.partial_bn,
                           block_shift_spec=shift_spec,
                           out_indices=self.out_indices,
                           name="backbone")
@@ -123,7 +130,8 @@ class TPN(nn.Module):
         # conv ×2-channels stride-2 → pool → dropout → fc, loss_weight .5)
         if train or self.is_initializing():  # params must exist at init
             a = ConvBN3D(feats[-2].shape[-1] * 2, (1, 3, 3), (1, 2, 2),
-                         dtype=self.dtype, name="aux_conv")(feats[-2], train)
+                         dtype=self.dtype, frozen_bn=self.partial_bn,
+                         name="aux_conv")(feats[-2], train)
             a = jnp.mean(a, axis=(1, 2, 3))
             a = nn.Dropout(self.aux_dropout, deterministic=not train)(a)
             a = nn.Dense(self.num_class, dtype=self.dtype,
@@ -140,6 +148,7 @@ class TPN(nn.Module):
             k = len(feats) - 1 - i  # stride-2 conv-BN-ReLUs to apply
             for s in range(k):
                 f = ConvBN3D(deep_c, (1, 3, 3), (1, 2, 2), dtype=self.dtype,
+                             frozen_bn=self.partial_bn,
                              name=f"spatial{i}_{s}")(f, train)
             levels.append(f)
 
@@ -159,6 +168,7 @@ class TPN(nn.Module):
             td[i - 1] = td[i - 1] + td[i]
         td_fused = LevelFusion(mid=(self.neck_out,) * len(td),
                                out=self.fusion_out, dtype=self.dtype,
+                               frozen_bn=self.partial_bn,
                                name="fusion_td")(td, train)
         # bottom-up path (downsample scale (1,1,1) ⇒ identity)
         bu = list(outs)
@@ -166,10 +176,12 @@ class TPN(nn.Module):
             bu[i + 1] = bu[i + 1] + bu[i]
         bu_fused = LevelFusion(mid=(self.neck_out,) * len(bu),
                                out=self.fusion_out, dtype=self.dtype,
+                               frozen_bn=self.partial_bn,
                                name="fusion_bu")(bu, train)
         # pyramid fusion over both directions
         y = jnp.concatenate([td_fused, bu_fused], axis=-1)
         y = ConvBN3D(self.fusion_out, (1, 1, 1), dtype=self.dtype,
+                     frozen_bn=self.partial_bn,
                      name="pyramid_fusion")(y, train)
 
         # TPN head: avg over (T', H, W) = avg consensus + spatial pool

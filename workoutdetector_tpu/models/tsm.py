@@ -123,6 +123,9 @@ class TSM(nn.Module):
                             self.shift_impl)
                 return None
         elif self.is_shift:
+            # any other shift_impl (e.g. 'unfused'): hook-based shift that
+            # materializes the shifted tensor — the semantic oracle the
+            # fused paths are parity-locked against (tests/test_shift_conv)
             hook = self._block_hook
 
         backbone = ResNet(stage_sizes=STAGE_SIZES[self.base_model],

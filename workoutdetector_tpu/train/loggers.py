@@ -28,14 +28,21 @@ class CSVLogger:
 
     def log_metrics(self, metrics: Dict[str, Any], step: int = 0) -> None:
         row = {"step": step, **metrics}
-        for k in row:
-            if k not in self._fields:
-                self._fields.append(k)
+        new_fields = [k for k in row if k not in self._fields]
         self._rows.append(row)
-        with open(self.path, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=self._fields)
-            w.writeheader()
-            w.writerows(self._rows)
+        if new_fields or not os.path.exists(self.path):
+            # schema grew (e.g. first val/ row): rewrite once with the
+            # extended header
+            self._fields.extend(new_fields)
+            with open(self.path, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=self._fields)
+                w.writeheader()
+                w.writerows(self._rows)
+        else:
+            # steady state: append only the new row — a long run must not
+            # rewrite an ever-growing file on every log call
+            with open(self.path, "a", newline="") as f:
+                csv.DictWriter(f, fieldnames=self._fields).writerow(row)
 
 
 class TensorBoardLogger:

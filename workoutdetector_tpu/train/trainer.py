@@ -88,17 +88,23 @@ class Trainer:
         # plain dict (not FrozenDict) so BN-free models (ConvNeXt) produce
         # the same pytree structure the traced step returns
         batch_stats = dict(variables.get("batch_stats", {}))
+        # the schedule counts OPTIMIZER updates: under MultiSteps the inner
+        # transform (where the schedule's count lives) advances once per
+        # grad_accum_steps micro-steps, so size epochs in update steps or
+        # warmup/decay would stretch by the accumulation factor
+        self._accum = max(self.cfg.trainer.grad_accum_steps, 1)
+        update_steps_per_epoch = max(-(-max(steps_per_epoch, 1) //
+                                       self._accum), 1)
         self.tx, self.schedule = build_optimizer(self.cfg.optimizer,
                                                  self.cfg.lr_scheduler,
                                                  params,
-                                                 steps_per_epoch=max(steps_per_epoch, 1),
+                                                 steps_per_epoch=update_steps_per_epoch,
                                                  max_epochs=self.cfg.trainer.max_epochs,
                                                  partial_bn=self.cfg.model.partial_bn,
                                                  fc_lr5=self.cfg.model.fc_lr5)
-        if self.cfg.trainer.grad_accum_steps > 1:
+        if self._accum > 1:
             # accumulate micro-batch grads; params update every k-th step
-            self.tx = optax.MultiSteps(self.tx,
-                                       self.cfg.trainer.grad_accum_steps)
+            self.tx = optax.MultiSteps(self.tx, self._accum)
         state = TrainState(step=jnp.zeros((), jnp.int32),
                            params=params,
                            batch_stats=batch_stats,
@@ -168,9 +174,17 @@ class Trainer:
                 {"params": state.params, "batch_stats": state.batch_stats},
                 x,
                 train=False)
-            loss = cross_entropy_loss(logits, y)
-            correct = jnp.sum((jnp.argmax(logits, -1) == y).astype(jnp.int32))
-            return {"loss": loss, "correct": correct, "total": y.shape[0]}
+            # label -1 marks loader pad rows (drop_last=False tail batch):
+            # keep the compiled shape, exclude them from every metric
+            mask = (y >= 0).astype(jnp.float32)
+            n = jnp.maximum(jnp.sum(mask), 1.0)
+            losses = optax.softmax_cross_entropy_with_integer_labels(
+                logits, jnp.maximum(y, 0))
+            loss = jnp.sum(losses * mask) / n
+            correct = jnp.sum(
+                ((jnp.argmax(logits, -1) == y) & (y >= 0)).astype(jnp.int32))
+            return {"loss": loss, "correct": correct,
+                    "total": jnp.sum(mask).astype(jnp.int32)}
 
         return jax.jit(
             eval_step,
@@ -201,7 +215,11 @@ class Trainer:
                           batch_size=self.cfg.data.batch_size,
                           shuffle=shuffle,
                           num_workers=self.cfg.data.num_workers,
-                          seed=self.cfg.seed)
+                          seed=self.cfg.seed,
+                          # train drops the tail for one static shape per
+                          # run; eval keeps every sample via the padded
+                          # tail batch (reference drop_last=False)
+                          drop_last=(split == "train"))
 
     def evaluate(self, state: TrainState, loader: DataLoader) -> Dict[str, float]:
         eval_step = self.eval_step_fn()
@@ -214,8 +232,9 @@ class Trainer:
             tot_loss += float(m["loss"])
             n_batches += 1
         if tot == 0:
-            return {"acc": 0.0, "loss": 0.0}
-        return {"acc": tot_correct / tot, "loss": tot_loss / max(n_batches, 1)}
+            return {"acc": 0.0, "loss": 0.0, "n": 0}
+        return {"acc": tot_correct / tot, "loss": tot_loss / max(n_batches, 1),
+                "n": tot}
 
     def fit(self, ckpt_dir: Optional[str] = None) -> Tuple[TrainState, Dict[str, float]]:
         """Full training loop. Returns (final_state, summary metrics)."""
@@ -288,7 +307,8 @@ class Trainer:
                     profiling = False
                 if global_step % cfg.trainer.log_every_n_steps == 0 or \
                         cfg.trainer.fast_dev_run:
-                    lr = float(self.schedule(global_step))
+                    lr = float(self.schedule(
+                        global_step // getattr(self, "_accum", 1)))
                     loggers.log_metrics(
                         {
                             "train/loss": float(metrics["loss"]),
@@ -311,7 +331,9 @@ class Trainer:
                 loggers.log_metrics({f"val/{k}": v for k, v in val.items()},
                                     step=global_step)
                 history = {"val/acc": val["acc"], "val/loss": val["loss"]}
-                if val["acc"] >= self.best_val_acc:
+                # an EMPTY val split (n==0) must not overwrite 'best'
+                # with a constant 0.0 >= 0.0 every epoch
+                if val.get("n", 1) > 0 and val["acc"] >= self.best_val_acc:
                     self.best_val_acc = val["acc"]
                     if ckpt is not None:
                         ckpt.save(state, name="best",
