@@ -210,3 +210,12 @@ def test_engine_from_exported_artifact(engine, tmp_path):
 
     with pytest.raises(RuntimeError, match="jaxm"):
         loaded._build_video_fn()
+
+
+def test_zero_frame_video_has_no_windows():
+    """A 0-frame video must produce an empty scores dict (reference
+    range(0, 0, 8) is empty), not one phantom all-zero window."""
+    from workoutdetector_tpu.infer.engine import InferenceEngine
+    # windows_for_video uses no engine state
+    assert len(InferenceEngine.windows_for_video(None, 0)) == 0
+    assert list(InferenceEngine.windows_for_video(None, 9)) == [0, 8]

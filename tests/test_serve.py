@@ -392,3 +392,14 @@ def test_batcher_rolling_deadline_coalesces_staggered_wave():
     asyncio.run(drive())
     assert calls[0] == 5, calls   # whole wave in one flush
     assert calls[1] == 1, calls
+
+
+def test_multipart_preserves_trailing_payload_bytes():
+    from workoutdetector_tpu.serve.server import _extract_multipart_file
+    payload = b"\x00\x01binary-video-data-ending-in--\r\n-"
+    body = (b"--BOUND\r\n"
+            b'Content-Disposition: form-data; name="file"; filename="v.mp4"\r\n'
+            b"Content-Type: application/octet-stream\r\n\r\n" +
+            payload + b"\r\n--BOUND--\r\n")
+    got = _extract_multipart_file(body, "multipart/form-data; boundary=BOUND")
+    assert got == payload

@@ -278,3 +278,55 @@ def test_video_reader_chunked_native_decode(tmp_path):
     with Tiny(str(p)) as r:
         prepped = r.read_prepped(scale=48, crop=32, max_frames=10)
     assert prepped.shape == (10, 32, 32, 3)
+
+
+def test_name_to_png_hour_rollover_and_ms():
+    from workoutdetector_tpu.scripts.relabel import name_to_png, process_screenshot
+    # 1h 1m 1s: minutes must roll over, not read 61
+    assert name_to_png("v.mp4", 3661.0) == "v.mp4_01_01_01.000.png"
+    # integer seconds have no phantom milliseconds
+    assert name_to_png("v.mp4", 9) == "v.mp4_00_00_09.000.png"
+    # fractional seconds keep exactly three digits
+    assert name_to_png("v.mp4", 9.9435).endswith("_00_00_09.944.png")
+    # round-trips through the parser
+    name, sec = process_screenshot("x/v.mp4_01_01_01.000.png")
+    assert (name, sec) == ("v.mp4", 3661.0)
+
+
+def test_cut_video_resamples_fps(tmp_path):
+    """A 60fps source cut to [0,2) must yield a 2-second clip at 30fps
+    (the reference's ffmpeg fps filter), not a 4-second half-speed one."""
+    import cv2
+
+    from workoutdetector_tpu.scripts.cut import cut_video
+    from workoutdetector_tpu.data.video import VideoReader
+
+    src = tmp_path / "fast.mp4"
+    w = cv2.VideoWriter(str(src), cv2.VideoWriter_fourcc(*"mp4v"), 60,
+                        (64, 48))
+    for i in range(120):  # 2 s at 60 fps
+        w.write(np.full((48, 64, 3), i * 2, np.uint8))
+    w.release()
+    out = cut_video(str(tmp_path), "fast", 0.0, 2.0, str(tmp_path / "cuts"))
+    with VideoReader(out) as r:
+        n, fps = r.frame_count, r.fps
+    assert abs(fps - 30.0) < 0.5
+    assert abs(n - 60) <= 2, n  # ~2 s of 30 fps output
+
+
+def test_compare_scores_skips_incomparable(tmp_path):
+    import json
+
+    from workoutdetector_tpu.scripts.compare_scores import compare_dirs
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    sc = {"0": {"0": 0.9, "1": 0.1}, "8": {"0": 0.2, "1": 0.8}}
+    for d in (a, b):
+        (d / "same.score.json").write_text(json.dumps({"scores": sc}))
+    # different window keys: not comparable, must not count as disagreement
+    (a / "other.score.json").write_text(json.dumps({"scores": {"0": {"0": 1.0}}}))
+    (b / "other.score.json").write_text(json.dumps({"scores": {"4": {"0": 1.0}}}))
+    res = compare_dirs(str(a), str(b), threshold=0.0, softmax=False)
+    assert res["skipped_no_common_windows"] == 1
+    assert res["count_agreement"] == 1.0

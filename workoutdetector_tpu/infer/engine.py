@@ -157,8 +157,10 @@ class InferenceEngine:
     def windows_for_video(self, total_frames: int, step: int = 8) -> np.ndarray:
         """Window start indices: every ``step`` frames (reference
         inference_count.py:411 ``range(0, len(vid), 8)``). The window
-        extent is ``num_segments * stride``, fixed by gather_windows."""
-        return np.arange(0, max(total_frames, 1), step, dtype=np.int64)
+        extent is ``num_segments * stride``, fixed by gather_windows.
+        A 0-frame video has no windows (the reference's range is empty) —
+        fabricating one would put a phantom all-zero score in the JSON."""
+        return np.arange(0, max(total_frames, 0), step, dtype=np.int64)
 
     def gather_windows(self, video_u8: np.ndarray, starts: np.ndarray,
                        stride: int = 2) -> np.ndarray:
@@ -183,6 +185,8 @@ class InferenceEngine:
             (starts, logits): window start frame indices and (N, num_class).
         """
         starts = self.windows_for_video(video_u8.shape[0], step=step)
+        if len(starts) == 0:  # 0-frame video: no windows, no scores
+            return starts, np.zeros((0,), np.float32)
         if self.gather == "device" and self.input_rank == 5 and \
                 self.mesh is None:
             return starts, self._score_video_device(video_u8, starts, stride)

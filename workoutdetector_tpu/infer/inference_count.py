@@ -262,6 +262,11 @@ def eval_dataset(engine: InferenceEngine,
         raise ValueError(f"Invalid model type: {model_type}")
     helper = RepcountHelper(data_root, anno_path)
     items = helper.get_rep_data(split=[split], action=action)
+    if output_dir is not None:
+        # before the loop: cv2.VideoWriter silently drops every frame
+        # when the directory doesn't exist, so save_video into a fresh
+        # output_dir would write nothing without this
+        os.makedirs(output_dir, exist_ok=True)
     pred_dict: Dict[str, int] = {}
     for name, item in items.items():
         out_path = None

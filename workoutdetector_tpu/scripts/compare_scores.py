@@ -31,12 +31,14 @@ def compare_dirs(dir_a: str, dir_b: str, threshold: float = 0.5,
     argmax_agree: List[float] = []
     count_agree = 0
     count_diff: List[int] = []
+    skipped = 0
     for f in files:
         a = json.load(open(os.path.join(dir_a, f)))["scores"]
         b = json.load(open(os.path.join(dir_b, f)))["scores"]
         common = sorted(set(a) & set(b), key=int)
         if not common:
-            continue
+            skipped += 1  # no shared window keys (e.g. different steps):
+            continue      # not comparable — must not count as disagreement
         va = np.asarray([[a[k][c] for c in sorted(a[k], key=int)] for k in common])
         vb = np.asarray([[b[k][c] for c in sorted(b[k], key=int)] for k in common])
         if va.shape == vb.shape:
@@ -46,13 +48,14 @@ def compare_dirs(dir_a: str, dir_b: str, threshold: float = 0.5,
         cb, _ = pred_to_count(scores_to_preds(b, threshold, softmax), step=8)
         count_agree += int(ca == cb)
         count_diff.append(abs(ca - cb))
-    n = len(files)
+    n = len(files) - skipped
     return {
-        "videos": n,
+        "videos": len(files),
+        "skipped_no_common_windows": skipped,
         "max_abs_score_delta": max(max_abs) if max_abs else float("nan"),
         "mean_argmax_agreement": float(np.mean(argmax_agree)) if argmax_agree
         else float("nan"),
-        "count_agreement": count_agree / n,
+        "count_agreement": count_agree / n if n else float("nan"),
         "mean_count_diff": float(np.mean(count_diff)) if count_diff else 0.0,
     }
 

@@ -27,7 +27,14 @@ def cut_video(input_dir: str, vid: str, start_sec: float, end_sec: float,
     e = min(int(end_sec * src_fps), len(frames))
     if e <= s:
         raise ValueError(f"empty cut [{start_sec}, {end_sec}) for {input_file}")
-    write_video(output_file, frames[s:e], fps)
+    # resample to the output fps (the reference's ffmpeg '-filter:v fps=30')
+    # — writing src-fps frames at 30 fps would change clip duration/speed
+    # for non-30fps sources and skew every downstream annotation
+    import numpy as np
+    n_out = max(1, int(round((e - s) * fps / src_fps)))
+    idx = s + np.minimum(
+        (np.arange(n_out) * src_fps / fps).astype(np.int64), e - s - 1)
+    write_video(output_file, frames[idx], fps)
     return output_file
 
 

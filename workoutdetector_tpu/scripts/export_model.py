@@ -60,10 +60,11 @@ def main(argv=None) -> None:
                      "batch_stats": tree.get("batch_stats",
                                              variables.get("batch_stats", {}))}
 
-    shape = (args.batch, cfg.model.num_segments, cfg.data.image_size,
-             cfg.data.image_size, 3)
-    if cfg.model.model_type.lower() == "image":
-        shape = (args.batch, cfg.data.image_size, cfg.data.image_size, 3)
+    # derive the traced shape from the factory's canonical example input:
+    # TDN is rank-6 (B, T, 5, H, W, C) and TimeSformer pins its own
+    # model.image_size — hand-built rank-5 shapes broke both
+    shape = example_input(cfg.model, batch=args.batch,
+                          image_size=cfg.data.image_size).shape
     path = export_model(model, variables, args.output, input_shape=shape,
                         meta={"model_type": cfg.model.model_type,
                               "num_class": cfg.model.num_class,

@@ -32,9 +32,9 @@ def process_screenshot(s: str) -> Tuple[str, float]:
 def name_to_png(vid: str, sec: float) -> str:
     """Inverse: video name + seconds → mpv screenshot filename."""
     h = int(sec // 3600)
-    m = int(sec // 60)
+    m = int(sec // 60) % 60
     s = int(sec) % 60
-    ms = str(sec).split(".")[-1].ljust(3, "0")
+    ms = f"{sec:.3f}".split(".")[1]  # exactly three digits, 9 → 000
     return f"{vid}_{h:02}_{m:02}_{s:02}.{ms}.png"
 
 

@@ -56,6 +56,16 @@ class AsyncBatcher:
 
     async def start(self) -> None:
         loop = asyncio.get_running_loop()
+        if self._task is not None and self._loop is loop and \
+                self._task.done():
+            # the collector crashed (surface it once, then rebuild) —
+            # leaving _task set would wedge every future score() on a
+            # queue nothing drains
+            exc = self._task.exception() if not self._task.cancelled() \
+                else None
+            if exc is not None:
+                log.error("batcher collector died: %r — restarting", exc)
+            self._task = None
         if self._task is not None and self._loop is not loop:
             # the server was restarted on a new event loop: the old
             # collector (and its loop-bound queue) are dead — rebuild them

@@ -31,6 +31,8 @@ def inference_video_action(engine: InferenceEngine, video_path: str,
     window score (reference demo.py:161-195)."""
     with VideoReader(video_path) as r:
         clip = r.read_prepped(256, engine.image_size)
+    if len(clip) == 0:
+        raise IOError(f"no decodable frames in {video_path}")
     idx = sample_frames(len(clip), engine.num_segments, random=False)
     scores = engine.score_windows(clip[idx][None])[0]
     return scores_to_payload(scores, labels)

@@ -105,6 +105,14 @@ class WorkoutServer:
         self.batcher = AsyncBatcher(engine.score_windows,
                                     max_batch=engine.window_batch,
                                     max_delay_ms=batch_delay_ms)
+        # count mode scores through a batcher too — per-connection device
+        # calls would dispatch N 1/window_batch-utilized batches under N
+        # concurrent counting clients, the pattern the batcher exists to
+        # eliminate; shared with the main batcher when the engines match
+        self.count_batcher = self.batcher if self.count_engine is engine \
+            else AsyncBatcher(self.count_engine.score_windows,
+                              max_batch=self.count_engine.window_batch,
+                              max_delay_ms=batch_delay_ms)
         # webp decode + resize/crop off the event loop: inline they
         # serialize every client's frames through the loop thread
         # (measured: host image decode, not device compute, bounds
@@ -143,11 +151,11 @@ class WorkoutServer:
         """
         from websockets.exceptions import ConnectionClosed
 
-        from workoutdetector_tpu.infer.streaming import StreamingRepCounter
+        from workoutdetector_tpu.infer.streaming import OnlineRepCounter
 
         frame_queue: List[np.ndarray] = []
         mode = "recognize"
-        counter: Optional[StreamingRepCounter] = None
+        counter: Optional[OnlineRepCounter] = None
         try:
             async for message in websocket:
                 if message == "stop":
@@ -155,8 +163,7 @@ class WorkoutServer:
                 if isinstance(message, str) and message.startswith("mode:"):
                     mode = message.split(":", 1)[1]
                     if mode == "count":
-                        counter = StreamingRepCounter(self.count_engine,
-                                                      window=SAMPLE_LENGTH)
+                        counter = OnlineRepCounter(step=SAMPLE_LENGTH)
                     frame_queue.clear()
                     continue
                 loop = asyncio.get_running_loop()
@@ -166,14 +173,21 @@ class WorkoutServer:
                 if frame is None:
                     continue
                 if mode == "count" and counter is not None:
-                    update = await loop.run_in_executor(None, counter.push, frame)
-                    if update is not None:
+                    frame_queue.append(frame)
+                    if len(frame_queue) == SAMPLE_LENGTH:
+                        window = await loop.run_in_executor(
+                            self._prep_pool, prep_frames, list(frame_queue),
+                            self.count_engine.image_size)
+                        frame_queue.clear()
+                        scores = await self.count_batcher.score(window)
+                        state = int(np.argmax(scores))
+                        completed = counter.push_state(state)
                         await websocket.send(json.dumps({
                             "success": True,
                             "mode": "count",
-                            "count": update["count"],
-                            "state": update["state"],
-                            "rep_completed": update["rep_completed"],
+                            "count": counter.count,
+                            "state": state,
+                            "rep_completed": completed,
                         }))
                     continue
                 frame_queue.append(frame)
@@ -317,7 +331,13 @@ def _extract_multipart_file(body: bytes, content_type: str) -> bytes:
     for part in body.split(b"--" + boundary):
         if b"\r\n\r\n" in part and (b"filename=" in part or b"octet-stream" in part):
             payload = part.split(b"\r\n\r\n", 1)[1]
-            return payload.rstrip(b"\r\n-")
+            # trim exactly the part-terminating CRLF (the boundary's own
+            # leading "--" was consumed by the split); an unbounded
+            # rstrip of {-, \r, \n} would eat real trailing bytes of a
+            # binary payload that happens to end in those values
+            if payload.endswith(b"\r\n"):
+                payload = payload[:-2]
+            return payload
     return b""
 
 
