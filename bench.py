@@ -68,9 +68,13 @@ def main() -> None:
 
     @jax.jit
     def run(x_u8, bump):
-        # bump: device scalar perturbing the input so no two enqueued
-        # steps are identical pure expressions (lazy-backend insurance)
-        return model.apply(variables, normalize_clip(x_u8 + bump),
+        # bump: int32 device scalar perturbing the input so no two
+        # enqueued steps are identical (fn, args) pairs (lazy-backend
+        # insurance). int32 so it never wraps within a run — a uint8
+        # bump made steps i and i+256 byte-identical and dedupable.
+        return model.apply(variables,
+                           normalize_clip(x_u8 + (bump % 256)
+                                          .astype(jnp.uint8)),
                            train=False)
 
     x = np.random.default_rng(0).integers(0, 256,
@@ -91,7 +95,7 @@ def main() -> None:
     # Both choices are harmless on eager backends.
     def run_n(n, base):
         t0 = time.perf_counter()
-        outs = [run(xd, jnp.uint8((base + i) & 0xFF)) for i in range(n)]
+        outs = [run(xd, jnp.int32(base + i)) for i in range(n)]
         np.asarray(jnp.stack([o.sum() for o in outs]))
         return time.perf_counter() - t0
 

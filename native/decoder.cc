@@ -172,6 +172,10 @@ long long wd_read_cropped(void* h, void* buf, long long max_frames, int scale,
   auto* d = static_cast<Decoder*>(h);
   auto* out = static_cast<uint8_t*>(buf);
   const int src_w = d->codec->width, src_h = d->codec->height;
+  // crop > scale would read past the scratch rows/cols below; resizing
+  // the short side to >= crop keeps the center-crop in bounds (the
+  // Python layer normalizes too — this is defense in depth)
+  if (scale < crop) scale = crop;
   int rs_w, rs_h;
   if (src_h <= src_w) {
     rs_h = scale;

@@ -144,20 +144,22 @@ def main() -> None:
         # compile endpoint rejects >~100 MB requests (HTTP 413) — a ViT-B
         # would ship 484 MB of weights inside the program.
         def run(params, batch_stats, x_u8, bump):
-            # bump is a device scalar that perturbs the input per call so
-            # no two enqueued steps are identical pure expressions
-            x = normalize_clip(x_u8 + bump)
+            # bump is an int32 device scalar that perturbs the input per
+            # call so no two enqueued steps are identical (fn, args)
+            # pairs — int32 so it never wraps within a run (a uint8 bump
+            # made steps i and i+256 byte-identical and dedupable)
+            x = normalize_clip(x_u8 + (bump % 256).astype(jnp.uint8))
             return model.apply({"params": params, "batch_stats": batch_stats},
                                x, train=False)
 
         fn = jax.jit(run)
-        zero = jnp.zeros((), jnp.uint8)
+        zero = jnp.zeros((), jnp.int32)
         cost = _flop_analysis(run, params, batch_stats, x_u8, zero)
 
         def run_n(n, base):
             t0 = time.perf_counter()
             outs = [fn(params, batch_stats, x_u8,
-                       jnp.uint8((base + i) & 0xFF)) for i in range(n)]
+                       jnp.int32(base + i)) for i in range(n)]
             # forced evaluation of EVERY element — see _TIMING_NOTE
             np.asarray(jnp.stack([o.sum() for o in outs]))
             return time.perf_counter() - t0

@@ -49,15 +49,19 @@ def main() -> None:
     x = rng.integers(0, 256, (args.batch, 8, 224, 224, 3), dtype=np.uint8)
     y = rng.integers(0, 12, (args.batch,)).astype(np.int32)
 
+    # sync by HOST FETCH, not block_until_ready: the tunneled 'axon'
+    # backend is lazy (block_until_ready no-ops) — see bench.py
+    # TIMING NOTE / CLAUDE.md. The loss is a scalar reduction over the
+    # step's outputs, so fetching it forces the chained steps.
     bx, by = shard_batch((x, y), trainer.mesh)
     state, m = step(state, bx, by)  # compile
-    jax.block_until_ready(m["loss"])
+    np.asarray(m["loss"])
     t0 = time.perf_counter()
     for _ in range(args.steps):
         if not args.resident:
             bx, by = shard_batch((x, y), trainer.mesh)  # include H2D
         state, m = step(state, bx, by)
-    jax.block_until_ready(m["loss"])
+    np.asarray(m["loss"])
     dt = time.perf_counter() - t0
     print(f"train: {args.batch * args.steps / dt:.1f} clips/s "
           f"({dt / args.steps * 1e3:.1f} ms/step, remat={args.remat}, "

@@ -45,12 +45,35 @@ def _coerce(value: Any, typ: Any) -> Any:
             return value.lower() in ("1", "true", "yes", "on")
         return bool(value)
     if typ is int:
-        return int(value)
+        try:
+            return int(value)
+        except ValueError:  # '1e4'-style exponent literals
+            f = float(value)
+            if f != int(f):
+                raise ValueError(f"non-integral value {value!r} for int field")
+            return int(f)
     if typ is float:
         return float(value)
     if typ is str:
         return str(value)
     return value
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _resolved_hints(cls) -> Dict[str, Any]:
+    """Field name → REAL type for a ConfigNode class. Under
+    ``from __future__ import annotations`` the dataclass ``field.type``
+    is a string, which used to bypass `_coerce` entirely — e.g.
+    ``optimizer.lr=1e-3`` stayed the string '1e-3' (YAML doesn't resolve
+    exponent floats) and crashed deep inside jit."""
+    import typing
+    try:
+        return dict(typing.get_type_hints(cls))
+    except Exception:
+        return {}
 
 
 class ConfigNode:
@@ -66,12 +89,8 @@ class ConfigNode:
             if is_dataclass(cur) and isinstance(v, dict):
                 cur.merge_dict(v)
             else:
-                ftype = next(f.type for f in fields(self) if f.name == k)
-                # dataclass field types may be strings under future annotations
-                if isinstance(ftype, str):
-                    setattr(self, k, v)
-                else:
-                    setattr(self, k, _coerce(v, ftype))
+                ftype = _resolved_hints(type(self)).get(k, Any)
+                setattr(self, k, _coerce(v, ftype))
 
     def merge_file(self, path: str) -> None:
         with open(path) as f:
@@ -110,8 +129,8 @@ class ConfigNode:
             if is_dataclass(cur) and isinstance(parsed, dict):
                 cur.merge_dict(parsed)
             else:
-                ftype = next(f.type for f in fields(node) if f.name == leaf)
-                setattr(node, leaf, parsed if isinstance(ftype, str) else _coerce(parsed, ftype))
+                ftype = _resolved_hints(type(node)).get(leaf, Any)
+                setattr(node, leaf, _coerce(parsed, ftype))
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

@@ -154,7 +154,13 @@ class VideoReader:
 
     def read_prepped(self, scale: int = 256, crop: int = 224,
                      max_frames: int = 100_000) -> np.ndarray:
-        """Decode all frames → (T, crop, crop, 3) RGB uint8."""
+        """Decode all frames → (T, crop, crop, 3) RGB uint8.
+
+        ``crop`` must fit inside the scaled frame; models with
+        image_size > scale (e.g. a 320-input model through the standard
+        256-scale call sites) get the short side resized to ``crop``
+        instead — the same geometry torchvision would need."""
+        scale = max(scale, crop)
         if self._lib is not None:
             return self._native_read(
                 lambda ptr, n: self._lib.wd_read_cropped(

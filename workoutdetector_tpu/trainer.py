@@ -17,7 +17,14 @@ def parse_args(argv=None) -> argparse.Namespace:
                         help="force CPU backend (debug)")
     parser.add_argument("opts", nargs=argparse.REMAINDER,
                         help="dotted config overrides, e.g. model.num_class=12")
-    return parser.parse_args(argv)
+    args = parser.parse_args(argv)
+    # REMAINDER swallows flags that follow the first override — without
+    # this, `... model.num_class=2 --cpu` loses --cpu (and on this image a
+    # lost --cpu means a tunneled-TPU run that looks like a hang)
+    if "--cpu" in args.opts:
+        args.opts = [o for o in args.opts if o != "--cpu"]
+        args.cpu = True
+    return args
 
 
 def main(argv=None) -> None:
