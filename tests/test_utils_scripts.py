@@ -330,3 +330,37 @@ def test_compare_scores_skips_incomparable(tmp_path):
     res = compare_dirs(str(a), str(b), threshold=0.0, softmax=False)
     assert res["skipped_no_common_windows"] == 1
     assert res["count_agreement"] == 1.0
+
+
+@pytest.mark.parametrize("model_type", ["tsm", "tdn", "tpn", "timesformer"])
+def test_export_cli_every_video_family(tmp_path, model_type):
+    """The export CLI must produce a loadable .jaxm for EVERY video model
+    family — it derives the traced shape from factory.example_input
+    (a hand-built rank-5 shape made TDN export impossible and traced
+    TimeSformer at the wrong size)."""
+    from workoutdetector_tpu.models.factory import example_input
+    from workoutdetector_tpu.scripts.export_model import main as export_main
+    from workoutdetector_tpu.utils.export import load_exported
+    from workoutdetector_tpu.config import Config
+
+    out = str(tmp_path / f"{model_type}")
+    opts = ["model.model_type", model_type, "model.num_class", "3",
+            "model.num_segments", "4", "model.dtype", "float32",
+            "data.image_size", "32"]
+    if model_type == "timesformer":
+        opts += ["model.base_model", "tiny", "model.image_size", "32",
+                 "model.patch_size", "8", "model.embed_dims", "32",
+                 "model.num_layers", "1", "model.num_heads", "2"]
+    else:
+        opts += ["model.base_model",
+                 "resnet50" if model_type == "tdn" else "resnet18"]
+    export_main(["--cpu", "-o", out, "--batch", "2"] + opts)
+
+    cfg = Config()
+    cfg.merge_opts(opts)
+    m = load_exported(out + ".jaxm")
+    x = np.zeros(example_input(cfg.model, batch=2, image_size=32).shape,
+                 np.uint8)
+    logits = np.asarray(m(x))
+    assert logits.shape == (2, 3)
+    assert m.meta.get("model_type") == model_type
