@@ -70,7 +70,7 @@ def main() -> None:
                           normalize_clip(x_u8), train=False)
         return jnp.mean((jnp.argmax(out, -1) == y).astype(jnp.float32))
 
-    best_acc, best_params = 0.0, params
+    best_acc, best_params, best_stats = 0.0, params, batch_stats
     batch = 16
     for epoch in range(args.epochs):
         perm = rng.permutation(len(train_x))
@@ -82,12 +82,14 @@ def main() -> None:
         acc = float(eval_step(params, batch_stats, jnp.asarray(val_x),
                               jnp.asarray(val_y)))
         print(f"epoch {epoch}: loss={float(loss):.4f} val_acc={acc:.3f}")
-        if acc >= best_acc:  # keep a copy of the best weights
-            best_acc, best_params = acc, jax.tree_util.tree_map(
-                lambda a: a.copy(), params)
-    # finish ON the best weights (the reference baseline's deepcopy-and-
-    # restore behavior) so final eval matches the reported best
-    params = best_params
+        if acc >= best_acc:  # keep a copy of the best weights + BN stats
+            best_acc = acc
+            best_params, best_stats = jax.tree_util.tree_map(
+                lambda a: a.copy(), (params, batch_stats))
+    # finish ON the best snapshot (the reference baseline's deepcopy-and-
+    # restore behavior) — params AND batch_stats, so the restored pair
+    # actually existed together and final eval reproduces the best
+    params, batch_stats = best_params, best_stats
     final = float(eval_step(params, batch_stats, jnp.asarray(val_x),
                             jnp.asarray(val_y)))
     print(f"best val_acc={best_acc:.3f} (restored; final eval {final:.3f})")

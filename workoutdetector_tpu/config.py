@@ -45,6 +45,11 @@ def _coerce(value: Any, typ: Any) -> Any:
             return value.lower() in ("1", "true", "yes", "on")
         return bool(value)
     if typ is int:
+        if isinstance(value, float):
+            # YAML already parsed a float: 2.5 must not silently become 2
+            if value != int(value):
+                raise ValueError(f"non-integral value {value!r} for int field")
+            return int(value)
         try:
             return int(value)
         except ValueError:  # '1e4'-style exponent literals

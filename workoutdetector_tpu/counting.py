@@ -54,7 +54,7 @@ def obo_mae(preds: Sequence[float],
     """Raw-count metrics: MAE = mean |pred - gt|; OBO = fraction with
     |pred - gt| == 1 (exact-one definition of reference utils/eval.py:11-24;
     the helper's ≤1 definition lives in data.repcount.RepcountHelper)."""
-    if not preds:
+    if len(preds) == 0:  # len(): callers pass lists AND numpy arrays
         raise ValueError("obo_mae: no predictions (empty score dir or "
                          "no videos matched the annotation)")
     mae = 0.0

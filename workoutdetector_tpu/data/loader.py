@@ -4,8 +4,10 @@ Replaces torch DataLoader (reference trainer.py:150-200 DataModule) with a
 thread-pool pipeline tuned for the TPU feed: workers decode JPEG + augment
 (all uint8), batches are preassembled into contiguous arrays, and a
 prefetch queue keeps ``prefetch`` batches ready so the device never waits
-on the host (double-buffering; SURVEY §7 hard-part 4). Shapes are static:
-``drop_last`` always, so every device step compiles once.
+on the host (double-buffering; SURVEY §7 hard-part 4). Shapes are static
+either way: train drops the tail batch (``drop_last=True``); eval keeps
+every sample by zero-padding the tail to batch_size with sentinel label
+-1 (``drop_last=False`` — consumers mask ``y < 0``).
 """
 
 from __future__ import annotations

@@ -85,10 +85,17 @@ class Detector:
         threshold to apply.
         """
         if threshold is not None:
+            import inspect
             try:
+                takes_threshold = "threshold" in \
+                    inspect.signature(self._fn).parameters
+            except (TypeError, ValueError):
+                takes_threshold = False
+            # probe the signature rather than catching TypeError around
+            # the call — that would swallow genuine backend TypeErrors
+            # and silently re-run detection without the threshold
+            if takes_threshold:
                 return self._fn(frames, threshold=threshold)
-            except TypeError:
-                pass  # backend without confidence scores
         return self._fn(frames)
 
 

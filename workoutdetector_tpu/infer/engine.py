@@ -185,8 +185,20 @@ class InferenceEngine:
             (starts, logits): window start frame indices and (N, num_class).
         """
         starts = self.windows_for_video(video_u8.shape[0], step=step)
-        if len(starts) == 0:  # 0-frame video: no windows, no scores
-            return starts, np.zeros((0,), np.float32)
+        if len(starts) == 0:
+            # 0-frame video: no windows — but keep the documented
+            # (N, num_class) rank so np.argmax(logits, axis=1) etc. get
+            # an empty result, not an AxisError
+            w_shape = (self.num_segments,) + video_u8.shape[1:]
+            try:
+                import jax
+                out_s = jax.eval_shape(
+                    self._fn, jax.ShapeDtypeStruct((1,) + w_shape, jnp.uint8))
+                n_cls = out_s.shape[-1]
+            except Exception:  # e.g. fixed-shape .jaxm artifacts
+                n_cls = self.score_windows(
+                    np.zeros((1,) + w_shape, np.uint8)).shape[-1]
+            return starts, np.zeros((0, n_cls), np.float32)
         if self.gather == "device" and self.input_rank == 5 and \
                 self.mesh is None:
             return starts, self._score_video_device(video_u8, starts, stride)

@@ -31,11 +31,13 @@ def process_screenshot(s: str) -> Tuple[str, float]:
 
 def name_to_png(vid: str, sec: float) -> str:
     """Inverse: video name + seconds → mpv screenshot filename."""
-    h = int(sec // 3600)
-    m = int(sec // 60) % 60
-    s = int(sec) % 60
-    ms = f"{sec:.3f}".split(".")[1]  # exactly three digits, 9 → 000
-    return f"{vid}_{h:02}_{m:02}_{s:02}.{ms}.png"
+    # single integer millisecond base so rounding can't disagree with the
+    # h/m/s truncation (59.9997 must become 01_00.000, not 59.000)
+    ms_total = round(sec * 1000)
+    h, rem = divmod(ms_total, 3_600_000)
+    m, rem = divmod(rem, 60_000)
+    s, ms = divmod(rem, 1000)
+    return f"{vid}_{h:02}_{m:02}_{s:02}.{ms:03}.png"
 
 
 def screenshots_to_csv(path: str, csv_path: str, num_frame: int = 3) -> None:

@@ -13,10 +13,13 @@ and full MXU utilization under load.
 from __future__ import annotations
 
 import asyncio
+import logging
 import time
 from typing import Any, Callable, List, Optional, Tuple
 
 import numpy as np
+
+log = logging.getLogger("workoutdetector_tpu.serve")
 
 
 class AsyncBatcher:
@@ -60,7 +63,9 @@ class AsyncBatcher:
                 self._task.done():
             # the collector crashed (surface it once, then rebuild) —
             # leaving _task set would wedge every future score() on a
-            # queue nothing drains
+            # queue nothing drains. KEEP the queue: pending
+            # (window, future) pairs from other clients drain into the
+            # fresh collector instead of awaiting forever.
             exc = self._task.exception() if not self._task.cancelled() \
                 else None
             if exc is not None:
@@ -68,18 +73,19 @@ class AsyncBatcher:
             self._task = None
         if self._task is not None and self._loop is not loop:
             # the server was restarted on a new event loop: the old
-            # collector (and its loop-bound queue) are dead — rebuild them
-            # or every score() would await a future nothing will resolve.
-            # cancel() on a task bound to a closed foreign loop can raise
-            # (call_soon on a closed loop); the rebuild must happen anyway
+            # collector (and its loop-bound queue futures) are dead —
+            # rebuild both or every score() would await a future nothing
+            # will resolve. cancel() on a task bound to a closed foreign
+            # loop can raise (call_soon on a closed loop); the rebuild
+            # must happen anyway
             try:
                 self._task.cancel()
             except RuntimeError:
                 pass
             self._task = None
+            self._queue = asyncio.Queue()
         if self._task is None:
             self._loop = loop
-            self._queue = asyncio.Queue()
             self._task = asyncio.create_task(self._collector())
 
     async def stop(self) -> None:

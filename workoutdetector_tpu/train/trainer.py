@@ -223,18 +223,19 @@ class Trainer:
 
     def evaluate(self, state: TrainState, loader: DataLoader) -> Dict[str, float]:
         eval_step = self.eval_step_fn()
-        tot_correct, tot, tot_loss, n_batches = 0, 0, 0.0, 0
+        tot_correct, tot, tot_loss = 0, 0, 0.0
         for x, y in loader:
             batch = shard_batch((x, y), self.mesh)
             m = eval_step(state, *batch)
+            n = int(m["total"])
             tot_correct += int(m["correct"])
-            tot += int(m["total"])
-            tot_loss += float(m["loss"])
-            n_batches += 1
+            tot += n
+            # weight by real-sample count: the padded tail batch's mean
+            # loss covers fewer samples and must not count as a full batch
+            tot_loss += float(m["loss"]) * n
         if tot == 0:
             return {"acc": 0.0, "loss": 0.0, "n": 0}
-        return {"acc": tot_correct / tot, "loss": tot_loss / max(n_batches, 1),
-                "n": tot}
+        return {"acc": tot_correct / tot, "loss": tot_loss / tot, "n": tot}
 
     def fit(self, ckpt_dir: Optional[str] = None) -> Tuple[TrainState, Dict[str, float]]:
         """Full training loop. Returns (final_state, summary metrics)."""
