@@ -39,9 +39,9 @@ def test_image_lists_parse_with_16_workout_classes(tmp_path):
 
 
 def test_video_lists_parse_as_3col_frame_annotations(tmp_path):
-    # video lists are 2-col `path label`; FrameDataset's 3-col parser
-    # should reject them (they are for decode-based datasets), so just
-    # validate the schema + label agreement here
+    # video lists are 2-col `path label` for decode-based datasets;
+    # this test validates their schema + label agreement (it does NOT
+    # exercise FrameDataset's parser on them)
     rows = []
     with open(os.path.join(REF_ROOT, "train.txt")) as f:
         for ln in f:

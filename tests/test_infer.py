@@ -176,8 +176,8 @@ def test_device_gather_matches_host_gather(tmp_path):
         video = rng.integers(0, 256, (t, SIZE, SIZE, 3), dtype=np.uint8)
         s_d, l_d = dev.score_video(video, step=8)
         s_h, l_h = host.score_video(video, step=8)
-        np.testing.assert_array_equal(s_d, s_h)
-        np.testing.assert_allclose(l_d, l_h, atol=1e-5), t
+        np.testing.assert_array_equal(s_d, s_h, err_msg=f"t={t}")
+        np.testing.assert_allclose(l_d, l_h, atol=1e-5, err_msg=f"t={t}")
 
 
 def test_engine_from_exported_artifact(engine, tmp_path):

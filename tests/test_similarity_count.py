@@ -60,7 +60,7 @@ def test_too_short_sequence_counts_zero():
     assert (count, p, s) == (0, 0, 0.0)
 
 
-def test_count_by_similarity_on_video():
+def test_count_by_similarity_on_video(tmp_path):
     """End-to-end: periodic mp4 → untrained backbone features → count.
     No checkpoint anywhere — the out-of-the-box counter."""
     import cv2
@@ -71,8 +71,7 @@ def test_count_by_similarity_on_video():
     from workoutdetector_tpu.models.resnet import resnet18
 
     size, period, n_reps = 32, 48, 3
-    tmp = tempfile.mkdtemp()
-    path = os.path.join(tmp, "reps.mp4")
+    path = str(tmp_path / "reps.mp4")
     w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 64))
     rng = np.random.default_rng(0)
     for _ in range(n_reps):

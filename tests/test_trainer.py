@@ -154,10 +154,6 @@ def test_grad_accum_schedule_counts_update_steps(tmp_path):
     """The LR schedule must be sized in OPTIMIZER updates: under
     optax.MultiSteps(k) the inner schedule advances once per k
     micro-steps, so without the correction warmup/decay stretch by k."""
-    base = small_cfg(tmp_path, batch=8)
-    base.lr_scheduler.policy = "cosine"
-    base.trainer.max_epochs = 2
-
     def final_lr(accum):
         cfg = small_cfg(tmp_path, batch=8)
         cfg.lr_scheduler.policy = "cosine"
@@ -165,7 +161,7 @@ def test_grad_accum_schedule_counts_update_steps(tmp_path):
         cfg.trainer.grad_accum_steps = accum
         trainer = Trainer(cfg)
         trainer.init_state(steps_per_epoch=8)
-        total_updates = 2 * (8 // accum if accum > 1 else 8)
+        total_updates = 2 * (8 // accum)
         return float(trainer.schedule(total_updates))
 
     # after all of training's updates both schedules must have fully
