@@ -407,3 +407,54 @@ def test_multipart_preserves_trailing_payload_bytes():
             payload + b"\r\n--BOUND--\r\n")
     got = _extract_multipart_file(body, "multipart/form-data; boundary=BOUND")
     assert got == payload
+
+
+def test_ws_count_mode_multi_client_coalesces(server):
+    """Concurrent count-mode clients must score through the shared
+    batcher (each used to issue its own 1/window_batch-utilized device
+    call): every client gets correct running counts and the batcher
+    coalesced at least part of the load."""
+
+    N = 4
+
+    async def one_client(cid):
+        import websockets
+        uri = f"ws://127.0.0.1:{server.ws_port}/ws/count{cid}"
+        async with websockets.connect(uri) as ws:
+            await ws.send("mode:count")
+            last = None
+            # 4 windows per client; ConstModel's argmax is constant
+            # (class 10) so counts stay 0 — rep-count semantics are
+            # covered by test_streaming; THIS test targets the shared
+            # batcher routing
+            for _ in range(2):
+                for val in (10, 245):
+                    for _ in range(8):
+                        await ws.send(_frame_data_url(val))
+                    last = json.loads(await asyncio.wait_for(ws.recv(), 60))
+            await ws.send("stop")
+            return last
+
+    async def drive():
+        ws_task = asyncio.create_task(server.serve_ws())
+        await asyncio.sleep(0.2)
+        try:
+            req0 = server.count_batcher.n_requests
+            fl0 = server.count_batcher.n_flushes
+            lasts = await asyncio.gather(*[one_client(i) for i in range(N)])
+            return lasts, server.count_batcher.n_requests - req0, \
+                server.count_batcher.n_flushes - fl0
+        finally:
+            ws_task.cancel()
+            try:
+                await ws_task
+            except asyncio.CancelledError:
+                pass
+
+    lasts, n_req, n_flush = asyncio.run(drive())
+    assert all(r is not None and r["mode"] == "count" for r in lasts)
+    assert all(r["state"] == 10 and r["count"] == 0 for r in lasts), lasts
+    assert n_req == N * 4
+    # the shared batcher saw all requests; concurrency must coalesce at
+    # least some of them (strictly fewer flushes than requests)
+    assert n_flush < n_req, (n_flush, n_req)
