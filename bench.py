@@ -42,6 +42,11 @@ def main() -> None:
                              "gather) instead of device-resident inference")
     parser.add_argument("--videos", type=int, default=6)
     parser.add_argument("--frames", type=int, default=320)
+    parser.add_argument("--fused-block", default="auto",
+                        choices=("auto", "true", "false"),
+                        help="whole-block Pallas inference fusion for the "
+                             "early ResNet stages (auto = off: measured "
+                             "wall, docs/PERF.md; true forces it for A/Bs)")
     args = parser.parse_args()
 
     import jax
@@ -55,8 +60,10 @@ def main() -> None:
     from workoutdetector_tpu.models import TSM
     from workoutdetector_tpu.ops.preprocess import normalize_clip
 
+    from workoutdetector_tpu.models.factory import _resolve_fused
     model = TSM(num_class=12, num_segments=8, base_model="resnet50",
-                dropout=0.0, dtype=jnp.bfloat16)
+                dropout=0.0, dtype=jnp.bfloat16,
+                fused_block=_resolve_fused(args.fused_block))
     rng = jax.random.PRNGKey(0)
     init_x = jnp.zeros((1, 8, 224, 224, 3), jnp.float32)
     variables = jax.jit(lambda: model.init({"params": rng}, init_x,

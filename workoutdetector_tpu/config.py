@@ -232,6 +232,12 @@ class ModelConfig(ConfigNode):
     dtype: str = "bfloat16"  # compute dtype; params stay fp32
     shift_impl: str = "xla"  # xla | pallas
     remat: bool = False  # jax.checkpoint residual blocks (memory ↔ FLOPs)
+    # whole-block Pallas inference fusion for the early ResNet stages
+    # (ops/pallas/fused_block.py). Measured SLOWER e2e on v5e (982 vs
+    # 1189 clips/s — docs/PERF.md lever table), so 'auto' resolves to
+    # OFF; 'true' force-enables (single-chip TPU inference only).
+    fused_block: str = "auto"  # auto (=off) | true | false
+    fused_stages: List[int] = field(default_factory=lambda: [0, 1])
 
 
 @dataclass

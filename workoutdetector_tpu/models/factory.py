@@ -18,12 +18,32 @@ _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat1
            "fp32": jnp.float32}
 
 
+def _resolve_fused(flag: str) -> bool:
+    """Resolve cfg.model.fused_block ∈ {auto,true,false}.
+
+    'auto' currently resolves to OFF everywhere: the whole-block Pallas
+    fusion measured SLOWER end-to-end on v5e (982 vs 1189 clips/s,
+    TSM-R50 batch 32, 2026-08-17 — see ops/pallas/fused_block.py and the
+    docs/PERF.md lever table), so only an explicit 'true' enables it.
+    'auto' is kept so a future backend/shape profile can flip the
+    default without a config migration. Note the kernel targets TPU
+    (CPU needs interpret mode) and GSPMD cannot partition the
+    pallas_call — 'true' is a single-chip inference knob.
+    """
+    f = str(flag).lower()
+    if f in ("true", "1", "yes", "on"):
+        return True
+    return False
+
+
 def build_model(cfg: ModelConfig) -> nn.Module:
     """Dispatch on cfg.model_type ∈ {tsm, tdn, image}."""
     dtype = _DTYPES[cfg.dtype]
     mt = cfg.model_type.lower()
     if mt == "tsm":
         return TSM(num_class=cfg.num_class,
+                   fused_block=_resolve_fused(cfg.fused_block),
+                   fused_stages=tuple(cfg.fused_stages),
                    num_segments=cfg.num_segments,
                    base_model=cfg.base_model,
                    is_shift=cfg.is_shift,

@@ -71,6 +71,36 @@ class ShiftConv(nn.Module):
                           tuple(self.strides), self.padding)
 
 
+class _ConvKernel(nn.Module):
+    """Parameter holder producing exactly nn.Conv's tree ({name}/kernel,
+    lecun_normal, HWIO shape) without running the convolution — the fused
+    block path (ops/pallas/fused_block.py) reads weights through these so
+    its param tree is bit-identical to the unfused modules' (checkpoints
+    and train/eval variables interchange freely)."""
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+
+
+class _BNStats(nn.Module):
+    """Parameter holder matching flax BatchNorm's tree: params scale/bias,
+    batch_stats mean/var (fp32, ones/zeros inits)."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        f = (self.features,)
+        scale = self.param("scale", nn.initializers.ones, f)
+        bias = self.param("bias", nn.initializers.zeros, f)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros(f, jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones(f, jnp.float32))
+        return scale, bias, mean.value, var.value
+
+
 class BasicBlock(nn.Module):
     """3x3-3x3 residual block (resnet18/34)."""
     filters: int
@@ -125,11 +155,55 @@ class Bottleneck(nn.Module):
     shift: Optional[Tuple] = None  # (n_segment, fold_div[, impl]) → fused
     expansion: int = 4
     train_attr: Optional[bool] = None  # see BasicBlock.train_attr
+    # whole-block Pallas fusion (inference only): 'pallas' runs the entire
+    # bottleneck — shift, three convs, folded BN, relu, residual — as one
+    # VMEM-resident kernel (ops/pallas/fused_block.py). Applies at
+    # stride 1 with no input_hook; otherwise (and whenever train=True,
+    # where BN uses batch stats) the unfused path below runs. The param
+    # tree is identical either way.
+    fuse_impl: Optional[str] = None
+
+    def _fused(self, x, train: bool) -> Optional[jnp.ndarray]:
+        if (self.fuse_impl != "pallas" or train or self.strides != 1
+                or self.input_hook is not None):
+            return None
+        from workoutdetector_tpu.ops.pallas.fused_block import (
+            FusedBlockParams, fold_bn, fused_bottleneck)
+        c_in = x.shape[-1]
+        f = self.filters
+        o = f * self.expansion
+        eps = getattr(self.norm, "keywords", {}).get("epsilon", 1e-5)
+        dt = self.dtype
+        w1 = _ConvKernel((1, 1, c_in, f), name="conv1")()
+        bn1 = _BNStats(f, name="bn1")()
+        w2 = _ConvKernel((3, 3, f, f), name="conv2")()
+        bn2 = _BNStats(f, name="bn2")()
+        w3 = _ConvKernel((1, 1, f, o), name="conv3")()
+        bn3 = _BNStats(o, name="bn3")()
+        wd = sbd = None
+        if self.downsample:
+            wd = _ConvKernel((1, 1, c_in, o), name="downsample_conv")()[0, 0]
+            wd = wd.astype(dt)
+            sbd = fold_bn(*_BNStats(o, name="downsample_bn")(), eps)
+        params = FusedBlockParams(
+            w1=w1[0, 0].astype(dt), sb1=fold_bn(*bn1, eps),
+            w2=w2.astype(dt), sb2=fold_bn(*bn2, eps),
+            w3=w3[0, 0].astype(dt), sb3=fold_bn(*bn3, eps),
+            wd=wd, sbd=sbd)
+        if self.shift is not None:
+            n_seg, fold = self.shift[0], c_in // self.shift[1]
+        else:
+            n_seg, fold = 1, 0
+        return fused_bottleneck(x.astype(dt), params,
+                                n_segment=n_seg, fold=fold)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.train_attr is not None:
             train = self.train_attr
+        fused = self._fused(x, train)
+        if fused is not None:
+            return fused
         residual = x
         y = x if self.input_hook is None else self.input_hook(x)
         if self.shift is not None:
@@ -200,6 +274,9 @@ class ResNet(nn.Module):
     # fn(stage_idx, block_idx) → Optional[(n_segment, fold_div)]: fuse the
     # TSM shift into that block's conv1 (ShiftConv) instead of hooking
     block_shift_spec: Optional[Callable] = None
+    # fn(stage_idx, block_idx) → Optional[str]: whole-block Pallas fusion
+    # policy for inference (Bottleneck.fuse_impl; bottleneck archs only)
+    block_fuse_spec: Optional[Callable] = None
     bn_momentum: float = 0.9
     bn_eps: float = 1e-5
     # rematerialize residual blocks on backward: trades ~30% more FLOPs for
@@ -249,6 +326,9 @@ class ResNet(nn.Module):
                     shift = self.block_shift_spec(i, j)
                 if self.block_pre_hook is not None:
                     x = self.block_pre_hook(x, stage_idx=i, block_idx=j)
+                kw = {}
+                if self.bottleneck and self.block_fuse_spec is not None:
+                    kw["fuse_impl"] = self.block_fuse_spec(i, j)
                 x = block_cls(filters=filters,
                               strides=strides,
                               downsample=downsample,
@@ -257,7 +337,8 @@ class ResNet(nn.Module):
                               input_hook=hook,
                               shift=shift,
                               train_attr=train,
-                              name=f"layer{i + 1}_{j}")(x)
+                              name=f"layer{i + 1}_{j}",
+                              **kw)(x)
             if self.out_indices is not None and i in self.out_indices:
                 taps.append(x)
 

@@ -47,6 +47,14 @@ class TSM(nn.Module):
     dtype: Any = jnp.float32
     shift_impl: str = "xla"  # xla | pallas
     remat: bool = False  # rematerialize blocks (activation-memory lever)
+    # whole-block Pallas fusion for INFERENCE (train steps keep XLA):
+    # eligible bottleneck blocks of the listed stages run as single
+    # VMEM-resident kernels (ops/pallas/fused_block.py). Measured wall
+    # on v5e — slower than XLA's schedule e2e (docs/PERF.md lever
+    # table) — so this stays opt-in; stages 0-1 are the bandwidth-bound
+    # candidates the kernel was built for.
+    fused_block: bool = False
+    fused_stages: Any = (0, 1)
 
     def _seg_at_stage(self, stage_idx: int) -> int:
         """Segments alive at a stage: temporal_pool halves T after stage 1
@@ -128,6 +136,13 @@ class TSM(nn.Module):
             # fused paths are parity-locked against (tests/test_shift_conv)
             hook = self._block_hook
 
+        fuse_spec = None
+        if self.fused_block and BOTTLENECK[self.base_model]:
+            stages = tuple(self.fused_stages)
+
+            def fuse_spec(stage_idx, block_idx):
+                return "pallas" if stage_idx in stages else None
+
         backbone = ResNet(stage_sizes=STAGE_SIZES[self.base_model],
                           bottleneck=BOTTLENECK[self.base_model],
                           num_classes=0,
@@ -137,6 +152,7 @@ class TSM(nn.Module):
                           block_pre_hook=pre_hook,
                           block_shift_spec=shift_spec,
                           stage_input_hook=self._stage_hook,
+                          block_fuse_spec=fuse_spec,
                           remat=self.remat,
                           name="backbone")
         feat = backbone(x, train=train)  # (B*T', F), T' = T or T/2
