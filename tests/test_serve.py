@@ -409,6 +409,62 @@ def test_multipart_preserves_trailing_payload_bytes():
     assert got == payload
 
 
+def test_post_video_webm_bytes(server, tmp_path):
+    """Chrome's MediaRecorder uploads a webm blob; the server writes it to
+    a .mp4-suffixed temp file, so decode must probe the container by
+    content, not extension (data/video.py via libav)."""
+    import cv2
+    path = tmp_path / "clip.webm"
+    w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"VP80"), 10,
+                        (64, 48))
+    for i in range(20):
+        w.write(np.full((48, 64, 3), 120, np.uint8))
+    w.release()
+    data = open(path, "rb").read()
+    assert data[:4] == b"\x1aE\xdf\xa3", "not an EBML/webm container"
+    req = urllib.request.Request(f"http://127.0.0.1:{server.http_port}/video",
+                                 data=data, method="POST")
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        body = json.loads(resp.read())
+    assert body["success"] is True
+    assert len(body["data"]) == 11
+
+
+def test_ws_png_frames(server):
+    """Safari's toDataURL ignores the webp hint and emits PNG data URLs —
+    the server must accept any data:image/* frame."""
+
+    def _png_data_url(value: int) -> str:
+        from PIL import Image
+        img = Image.fromarray(np.full((60, 80, 3), value, np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return ("data:image/png;base64," +
+                base64.b64encode(buf.getvalue()).decode())
+
+    async def drive():
+        import websockets
+        ws_task = asyncio.create_task(server.serve_ws())
+        await asyncio.sleep(0.2)
+        try:
+            uri = f"ws://127.0.0.1:{server.ws_port}/ws/safari"
+            async with websockets.connect(uri) as ws:
+                for _ in range(8):
+                    await ws.send(_png_data_url(180))
+                reply = json.loads(await asyncio.wait_for(ws.recv(), timeout=30))
+                assert reply["success"] is True
+                assert len(reply["data"]) == 11
+                await ws.send("stop")
+        finally:
+            ws_task.cancel()
+            try:
+                await ws_task
+            except asyncio.CancelledError:
+                pass
+
+    asyncio.run(drive())
+
+
 def test_ws_count_mode_multi_client_coalesces(server):
     """Concurrent count-mode clients must score through the shared
     batcher (each used to issue its own 1/window_batch-utilized device
