@@ -143,3 +143,102 @@ def test_eval_dataset_similarity_mode(tmp_path):
     import os
     assert os.path.isfile(
         tmp_path / "out" / "eval_count_similarity_model.csv")
+
+
+def _localized_motion_frames(n_reps: int, period: int, size: int = 64,
+                             noise: int = 6, seed: int = 0) -> np.ndarray:
+    """Static noisy scene with a small oscillating patch — the motion
+    covers ~3% of the pixels, which washes out of global features (the
+    failure mode of the reference's real 'exercising arm' clip)."""
+    rng = np.random.default_rng(seed)
+    t = n_reps * period
+    base = rng.integers(60, 200, (size, size, 3)).astype(np.float32)
+    frames = np.repeat(base[None], t, axis=0)
+    phase = np.sin(2 * np.pi * np.arange(t) / period)
+    y0, x0 = size // 8, size // 8  # patch inside one grid cell
+    frames[:, y0:y0 + 8, x0:x0 + 8] += 90.0 * phase[:, None, None, None]
+    frames += rng.normal(0, noise, frames.shape)
+    return np.clip(frames, 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("n_reps,period", [(5, 60), (3, 40)])
+def test_spatial_periodicity_sees_localized_motion(n_reps, period):
+    from workoutdetector_tpu.utils.similarity import (
+        count_by_spatial_periodicity)
+
+    frames = _localized_motion_frames(n_reps, period)
+    count, p, strength = count_by_spatial_periodicity(frames)
+    assert count == n_reps
+    assert abs(p - period) <= max(2, period // 10)
+    assert strength > 0.1
+
+
+def test_spatial_periodicity_static_video_counts_zero():
+    """Pure static noise must not fabricate reps: z-scoring amplifies
+    noise in motionless cells, so strengths there must stay under the
+    default gate."""
+    from workoutdetector_tpu.utils.similarity import (
+        count_by_spatial_periodicity)
+
+    rng = np.random.default_rng(1)
+    base = rng.integers(60, 200, (64, 64, 3)).astype(np.float32)
+    frames = np.clip(
+        base[None] + rng.normal(0, 6, (240, 64, 64, 3)), 0,
+        255).astype(np.uint8)
+    count, _, strength = count_by_spatial_periodicity(frames)
+    assert count == 0, f"fabricated {count} reps (strength {strength})"
+
+
+def test_count_by_motion_periodicity_on_video(tmp_path):
+    """End-to-end decode → spatial counter on a real mp4 with localized
+    motion; no engine, no checkpoint."""
+    import cv2
+
+    from workoutdetector_tpu.infer import count_by_motion_periodicity
+
+    n_reps, period = 4, 48
+    frames = _localized_motion_frames(n_reps, period, size=64)
+    path = str(tmp_path / "arm.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 64))
+    for fr in frames:
+        w.write(fr[..., ::-1])
+    w.release()
+    count, p, strength = count_by_motion_periodicity(path)
+    assert count == n_reps
+    assert strength > 0.1
+
+
+def test_eval_dataset_motion_mode(tmp_path):
+    """eval_dataset(model_type='motion') needs no engine at all."""
+    import cv2
+    import pandas as pd
+
+    from workoutdetector_tpu.infer import eval_dataset
+
+    data_root = tmp_path / "RepCount"
+    (data_root / "videos" / "test").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    rows = []
+    for v, (n_reps, half) in enumerate([(2, 24), (4, 15)]):
+        name = f"s{v}.mp4"
+        w = cv2.VideoWriter(str(data_root / "videos" / "test" / name),
+                            cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 64))
+        reps, f = [], 0
+        for _ in range(n_reps):
+            reps.append(f)
+            for val in (45, 215):
+                for _ in range(half):
+                    fr = np.full((64, 64, 3), val, np.uint8)
+                    fr += rng.integers(0, 8, fr.shape, dtype=np.uint8)
+                    w.write(fr)
+                    f += 1
+            reps.append(f - half)
+        w.release()
+        rows.append(dict(name=name, class_="squat", split="test",
+                         count=n_reps, reps=" ".join(map(str, reps)),
+                         vid=name, start=0, end=f))
+    anno = data_root / "annotation.csv"
+    pd.DataFrame(rows).to_csv(anno)
+    mae, obo = eval_dataset(None, ["squat"], "test", str(data_root),
+                            str(anno), model_type="motion")
+    assert mae == 0.0 and obo == 1.0

