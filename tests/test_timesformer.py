@@ -271,3 +271,110 @@ def test_factory_dispatch_and_trainer_step(tmp_path):
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_fold_temporal_fc_exact_and_barrier_neutral():
+    """fold_timesformer_tfc merges t_fc into t_attn.proj exactly (fp32),
+    and the block_barrier fusion-break knob never changes values."""
+    from workoutdetector_tpu.models.timesformer import fold_for_inference
+
+    fmodel = _flax_model("divided_space_time")
+    x = jnp.asarray(_inputs(3))
+    v = fmodel.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    # t_fc kernels are zero-init — randomize them so the fold is load-bearing
+    params = {k: (dict(b) if isinstance(b, dict) else b)
+              for k, b in v["params"].items()}
+    for k, blk in params.items():
+        if k.startswith("block_"):
+            rng = jax.random.PRNGKey(abs(hash(k)) % (2 ** 31))
+            blk["t_fc"] = {
+                "kernel": 0.1 * jax.random.normal(
+                    rng, blk["t_fc"]["kernel"].shape),
+                "bias": jnp.full_like(blk["t_fc"]["bias"], 0.05)}
+    v = {"params": params}
+    base = fmodel.apply(v, x, train=False)
+
+    folded_model, folded_v = fold_for_inference(fmodel, v)
+    assert folded_model.fold_temporal_fc
+    assert "t_fc" not in folded_v["params"]["block_0"]
+    np.testing.assert_allclose(folded_model.apply(folded_v, x, train=False),
+                               base, atol=1e-5, rtol=1e-5)
+    # folding twice is a no-op
+    again_model, again_v = fold_for_inference(folded_model, folded_v)
+    assert again_model is folded_model and again_v is folded_v
+
+    bar = fmodel.clone(block_barrier=True).apply(v, x, train=False)
+    np.testing.assert_allclose(bar, base, atol=0, rtol=0)
+
+
+def test_flash_attention_flag_gating():
+    """cfg.model.flash_attention: 'auto' resolves OFF (measured exactly
+    neutral on v5e — the 197→256 block pad offsets the saved attention
+    materialization, docs/PERF.md; and the kernel doesn't lower on CPU),
+    explicit values win; the flag adds no parameters so checkpoints stay
+    interchangeable."""
+    from workoutdetector_tpu.models.factory import build_model
+
+    cfg = Config().model
+    cfg.model_type = "timesformer"
+    cfg.base_model = "vit_base_patch16_224"
+    assert not build_model(cfg).flash_attention  # auto == off
+    cfg.flash_attention = "false"
+    assert not build_model(cfg).flash_attention
+    cfg.flash_attention = "true"
+    assert build_model(cfg).flash_attention
+
+
+def test_engine_autofolds_timesformer():
+    """InferenceEngine applies fold_for_inference automatically: the
+    engine's model has fold_temporal_fc set, its param tree has no t_fc,
+    and window scores match an optimize=False engine (fp32-exact fold;
+    only bf16 rounding downstream)."""
+    from workoutdetector_tpu.infer.engine import InferenceEngine
+
+    fmodel = _flax_model("divided_space_time")
+    v = fmodel.init({"params": jax.random.PRNGKey(0)},
+                    jnp.asarray(_inputs(3)), train=False)
+    # randomize t_fc so the fold is load-bearing (zero-init otherwise)
+    params = {k: (dict(b) if isinstance(b, dict) else b)
+              for k, b in v["params"].items()}
+    for k, blk in params.items():
+        if k.startswith("block_"):
+            rng = jax.random.PRNGKey(abs(hash(k)) % (2 ** 31))
+            blk["t_fc"] = {
+                "kernel": 0.1 * jax.random.normal(
+                    rng, blk["t_fc"]["kernel"].shape),
+                "bias": jnp.full_like(blk["t_fc"]["bias"], 0.05)}
+    v = {"params": params}
+
+    kw = dict(num_segments=fmodel.num_segments, window_batch=2,
+              image_size=fmodel.image_size)
+    eng = InferenceEngine(fmodel, v, **kw)
+    ref = InferenceEngine(fmodel, v, optimize=False, **kw)
+    assert eng.model.fold_temporal_fc and not ref.model.fold_temporal_fc
+    assert "t_fc" not in eng.variables["params"]["block_0"]
+    wins = np.random.default_rng(0).integers(
+        0, 256, (2, fmodel.num_segments, fmodel.image_size,
+                 fmodel.image_size, 3), dtype=np.uint8)
+    np.testing.assert_allclose(eng.score_windows(wins),
+                               ref.score_windows(wins), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas flash kernel lowers on TPU only")
+def test_flash_attention_parity_tpu():
+    """flash path ≈ XLA path on real hardware (fp32 params, 197-token
+    rows exercise the 128-block padding + segment-id masking).
+
+    Both paths run the TPU's default matmul precision (bf16-based), so
+    fp32 logits agree to accumulated-rounding level, not exactly:
+    measured max|diff| 2.8e-3 on ViT-B-depth stacks (v5e, 2026-08-17).
+    The assert bounds that and requires argmax agreement."""
+    fmodel = _flax_model("divided_space_time")
+    x = jnp.asarray(_inputs(5))
+    v = fmodel.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    base = np.asarray(fmodel.apply(v, x, train=False))
+    fl = np.asarray(fmodel.clone(flash_attention=True).apply(
+        v, x, train=False))
+    np.testing.assert_allclose(fl, base, atol=8e-3, rtol=0)
+    assert (fl.argmax(-1) == base.argmax(-1)).all()

@@ -62,6 +62,13 @@ def main() -> None:
     p.add_argument("--train", action="store_true",
                    help="bench the fwd+bwd+update step instead of inference")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--flash", default=None, choices=["true", "false", "auto"],
+                   help="TimeSformer: cfg.model.flash_attention override")
+    p.add_argument("--fold", action="store_true",
+                   help="TimeSformer: fold t_fc into t_attn.proj "
+                        "(inference only)")
+    p.add_argument("--barrier", action="store_true",
+                   help="TimeSformer: optimization_barrier between blocks")
     args = p.parse_args()
 
     import jax
@@ -79,15 +86,24 @@ def main() -> None:
     cfg.model_type = args.model
     cfg.dropout = 0.0
     cfg.image_size = args.image_size
+    if args.flash:
+        cfg.flash_attention = args.flash
     if args.base_model:
         cfg.base_model = args.base_model
     elif args.model == "timesformer":
         cfg.base_model = "vit_base_patch16_224"
     model = build_model(cfg)
+    if args.barrier:
+        model = model.clone(block_barrier=True)
 
     rng = jax.random.PRNGKey(0)
     x0 = example_input(cfg, batch=args.batch, image_size=args.image_size)
     variables = model.init({"params": rng}, x0, train=False)
+    if args.fold:
+        from workoutdetector_tpu.models.timesformer import fold_for_inference
+        assert not args.train, "--fold is inference-only"
+        model, variables = fold_for_inference(model, dict(variables))
+        variables = dict(variables)
     params = variables["params"]
     batch_stats = dict(variables.get("batch_stats", {}))
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))

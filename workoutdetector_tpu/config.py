@@ -238,6 +238,11 @@ class ModelConfig(ConfigNode):
     # OFF; 'true' force-enables (single-chip TPU inference only).
     fused_block: str = "auto"  # auto (=off) | true | false
     fused_stages: List[int] = field(default_factory=lambda: [0, 1])
+    # TimeSformer spatial attention through the Pallas TPU flash kernel
+    # (models/timesformer.MHA flash path; param-tree-identical). 'auto'
+    # resolves to ON when the default backend is a TPU, OFF elsewhere
+    # (the kernel does not lower on CPU).
+    flash_attention: str = "auto"  # auto | true | false
 
 
 @dataclass

@@ -85,7 +85,19 @@ def build_model(cfg: ModelConfig) -> nn.Module:
                                                             VIT_VARIANTS)
         embed, depth, heads = VIT_VARIANTS.get(
             cfg.base_model, (cfg.embed_dims, cfg.num_layers, cfg.num_heads))
+        flash = str(cfg.flash_attention).lower()
+        if flash in ("true", "1", "yes", "on"):
+            use_flash = True
+        else:
+            # 'auto' resolves OFF everywhere: measured exactly neutral on
+            # v5e (67.8 vs 67.6 ms wall, identical device time — the
+            # 197→256 pad wastes 30% of key reads, offsetting the saved
+            # (n,h,l,l) materialization; docs/PERF.md lever table). The
+            # kernel also doesn't lower on CPU. Explicit 'true' remains
+            # for larger-sequence variants where the math flips.
+            use_flash = False
         return TimeSformer(num_class=cfg.num_class,
+                           flash_attention=use_flash,
                            num_segments=cfg.num_segments,
                            image_size=cfg.image_size,
                            patch_size=cfg.patch_size,

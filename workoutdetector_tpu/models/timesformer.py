@@ -29,7 +29,7 @@ TPU design:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,14 +58,49 @@ def _drop_path(x: jnp.ndarray, rate: float, deterministic: bool,
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
+def _flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+               scale: float) -> jnp.ndarray:
+    """softmax(q kᵀ · scale) v via the Pallas TPU flash kernel.
+
+    q/k/v are head-major (n, h, l, dh). Sequence lengths that are not a
+    multiple of the kernel's 128-wide blocks are zero-padded and the pad
+    tokens masked out through segment ids (pad rows produce garbage that
+    is sliced off; pad KEYS are what matters, and the segment mask
+    removes them from every real query's softmax). TPU-only — callers
+    gate on backend. Numerics: the kernel accumulates the softmax in
+    fp32, so bf16 outputs differ from the XLA path only by rounding."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention)
+    n, h, l, dh = q.shape
+    lp = -l % 128
+    if lp:
+        pad = ((0, 0), (0, 0), (0, lp), (0, 0))
+        q, k, v = (jnp.pad(a, pad) for a in (q, k, v))
+        seg = jnp.concatenate(
+            [jnp.ones((n, l), jnp.int32),
+             jnp.full((n, lp), 2, jnp.int32)], axis=1)
+        ids = SegmentIds(q=seg, kv=seg)
+    else:
+        ids = None
+    out = flash_attention(q, k, v, segment_ids=ids, sm_scale=scale)
+    return out[:, :, :l] if lp else out
+
+
 class MHA(nn.Module):
     """Multi-head self-attention with the torch packed-qkv layout
-    (in_proj (D,3D) + out_proj), so reference checkpoints port 1:1."""
+    (in_proj (D,3D) + out_proj), so reference checkpoints port 1:1.
+
+    ``flash=True`` routes softmax(QKᵀ)V through the Pallas TPU flash
+    kernel (same params, same math) instead of materializing the
+    (n, h, l, l) attention tensor in HBM; it falls back to the XLA path
+    when attention dropout must actually fire (the kernel has no
+    dropout; every reference TimeSformer config runs attn dropout 0)."""
     dim: int
     num_heads: int
     dtype: Any = jnp.float32
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    flash: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -82,10 +117,14 @@ class MHA(nn.Module):
         q = q.reshape(n, l, h, dh).transpose(0, 2, 1, 3)  # (n, h, l, dh)
         k = k.reshape(n, l, h, dh).transpose(0, 2, 1, 3)
         v = v.reshape(n, l, h, dh).transpose(0, 2, 1, 3)
-        attn = (q @ k.transpose(0, 1, 3, 2)) * (dh ** -0.5)  # (n, h, l, l)
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
-        out = (attn @ v).transpose(0, 2, 1, 3).reshape(n, l, d)
+        if self.flash and not (train and self.attn_drop > 0.0):
+            out = _flash_mha(q, k, v, dh ** -0.5)
+        else:
+            attn = (q @ k.transpose(0, 1, 3, 2)) * (dh ** -0.5)  # (n,h,l,l)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+            out = attn @ v
+        out = out.transpose(0, 2, 1, 3).reshape(n, l, d)
         out = nn.Dense(d, dtype=self.dtype, name="proj")(out)
         return nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
@@ -118,10 +157,21 @@ class DividedBlock(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     seq_mesh: Any = None  # sequence parallelism: (data, model) Mesh or None
+    flash: bool = False  # Pallas flash kernel for the spatial attention
+    fold_temporal_fc: bool = False  # t_fc folded into t_attn.proj (inference)
+    block_barrier: bool = False  # optimization_barrier at block entry
 
     @nn.compact
     def __call__(self, cls_tok: jnp.ndarray, patches: jnp.ndarray,
                  train: bool = False):
+        if self.block_barrier:
+            # fusion break: without it XLA fuses the previous block's
+            # mlp.fc2 matmul with this block's t_norm statistics reduce
+            # into one "convolution fusion" that runs at ~70 TF/s where
+            # the unfused fc1 matmul reaches ~177 TF/s (v5e trace,
+            # ViT-B batch 8, 2026-08-17) — an A/B knob, see docs/PERF.md
+            cls_tok, patches = jax.lax.optimization_barrier(
+                (cls_tok, patches))
         b, p, t, d = patches.shape
         det = not train or self.drop_path == 0.0
         rngs = (None, None, None) if det else \
@@ -138,12 +188,18 @@ class DividedBlock(nn.Module):
         # temporal attention per patch location (over T), output through a
         # zero-init projection: the block starts as a spatial-only ViT
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="t_norm")(patches)
+        # temporal attention rows are T=8 long — 128-block flash padding
+        # would waste 16×, so the temporal MHA always takes the XLA path
         y = MHA(d, self.num_heads, self.dtype, self.attn_drop, self.drop,
                 name="t_attn")(y.reshape(b * p, t, d), train)
         y = _drop_path(y, self.drop_path, det, rngs[0]).reshape(b, p, t, d)
-        y = nn.Dense(d, dtype=self.dtype, name="t_fc",
-                     kernel_init=nn.initializers.zeros,
-                     bias_init=nn.initializers.zeros)(y)
+        if not self.fold_temporal_fc:
+            # at inference proj→t_fc is linear∘linear (drop_path and the
+            # dropouts are identity): fold_timesformer_tfc() merges t_fc
+            # into t_attn.proj exactly, and this Dense disappears
+            y = nn.Dense(d, dtype=self.dtype, name="t_fc",
+                         kernel_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.zeros)(y)
         patches = patches + y
 
         # spatial attention per frame, cls replicated per frame; under
@@ -157,7 +213,7 @@ class DividedBlock(nn.Module):
         sp = jnp.concatenate([cls_rep.reshape(b * t, 1, d), sp], axis=1)
         sp = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="s_norm")(sp)
         sp = MHA(d, self.num_heads, self.dtype, self.attn_drop, self.drop,
-                 name="s_attn")(sp, train)
+                 flash=self.flash, name="s_attn")(sp, train)
         sp = _drop_path(sp, self.drop_path, det, rngs[1])
         cls_res = jnp.mean(sp[:, 0].reshape(b, t, d), axis=1, keepdims=True)
         sp_res = sp[:, 1:].reshape(b, t, p, d).transpose(0, 2, 1, 3)
@@ -236,6 +292,15 @@ class TimeSformer(nn.Module):
     # attention, T during spatial — and GSPMD inserts the all-to-alls.
     # None (default) = no constraints; cfg.model.seq_parallel wires it.
     seq_mesh: Any = None
+    # perf knobs (divided attention; param-tree-neutral unless noted):
+    # flash_attention — Pallas TPU flash kernel for the 197-token spatial
+    #   attention (cfg.model.flash_attention; TPU-only).
+    # fold_temporal_fc — expects params produced by fold_timesformer_tfc
+    #   (t_fc merged into t_attn.proj; inference-only, exact).
+    # block_barrier — A/B knob breaking the fc2↔next-LN mega-fusion.
+    flash_attention: bool = False
+    fold_temporal_fc: bool = False
+    block_barrier: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -278,6 +343,9 @@ class TimeSformer(nn.Module):
                     d, self.num_heads, self.mlp_ratio, self.dtype,
                     self.dropout, self.attn_dropout, float(dprs[i]),
                     seq_mesh=self.seq_mesh,
+                    flash=self.flash_attention,
+                    fold_temporal_fc=self.fold_temporal_fc,
+                    block_barrier=self.block_barrier,
                     name=f"block_{i}")(cls_tok, patches, train)
             feat = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                 name="norm")(cls_tok[:, 0])
@@ -311,3 +379,49 @@ class TimeSformer(nn.Module):
                           kernel_init=nn.initializers.normal(0.02),
                           bias_init=nn.initializers.zeros, name="fc")(feat)
         return logits.astype(jnp.float32)
+
+
+def fold_timesformer_tfc(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Fold each DividedBlock's t_fc Dense into t_attn.proj (inference).
+
+    At inference the temporal-attention tail is proj → (identity
+    drop_path/dropout) → t_fc: two consecutive Dense layers over the last
+    dim, i.e. one linear map with kernel Wp·Wt and bias bp·Wt + bt. The
+    returned tree drops every ``t_fc`` and rewrites ``t_attn/proj`` —
+    use with a model built with ``fold_temporal_fc=True``. Exact in fp32
+    param space (the fold happens before the bf16 compute cast); NOT
+    valid for training (drop_path/dropout sit between the two layers).
+
+    Saves one D×D matmul plus a full-activation HBM round-trip per block
+    (~6% of ViT-B FLOPs).
+    """
+    import copy as _copy
+    out = dict(_copy.deepcopy(params))
+    for key, blk in out.items():
+        if not (key.startswith("block_") and isinstance(blk, dict)
+                and "t_fc" in blk):
+            continue
+        proj = blk["t_attn"]["proj"]
+        tfc = blk.pop("t_fc")
+        wp, bp = jnp.asarray(proj["kernel"]), jnp.asarray(proj["bias"])
+        wt, bt = jnp.asarray(tfc["kernel"]), jnp.asarray(tfc["bias"])
+        blk["t_attn"] = dict(blk["t_attn"])
+        blk["t_attn"]["proj"] = {"kernel": wp @ wt, "bias": bp @ wt + bt}
+    return out
+
+
+def fold_for_inference(model: Any, variables: Dict[str, Any]
+                       ) -> Tuple[Any, Dict[str, Any]]:
+    """(model, variables) → the t_fc-folded inference pair.
+
+    No-op (returns the inputs) for non-TimeSformer modules, non-divided
+    attention types, and models already folded — safe to call on any
+    model, which is how InferenceEngine applies it automatically.
+    Measured −3.2% wall / −3.7% device time and −6% params on ViT-B
+    batch 8 (v5e, 2026-08-17, docs/PERF.md lever table)."""
+    if getattr(model, "attention_type", None) != "divided_space_time" \
+            or getattr(model, "fold_temporal_fc", False):
+        return model, variables
+    new_vars = dict(variables)
+    new_vars["params"] = fold_timesformer_tfc(variables["params"])
+    return model.clone(fold_temporal_fc=True), new_vars
