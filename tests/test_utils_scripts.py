@@ -332,6 +332,41 @@ def test_compare_scores_skips_incomparable(tmp_path):
     assert res["count_agreement"] == 1.0
 
 
+def test_export_folds_timesformer_tfc(tmp_path):
+    """export_model serializes the t_fc-folded graph (same rewrite set as
+    InferenceEngine) and the artifact's logits match the UNfolded live
+    model — the fold is exact in fp32."""
+    import jax
+    import jax.numpy as jnp
+    from workoutdetector_tpu.models.timesformer import TimeSformer
+    from workoutdetector_tpu.ops.preprocess import normalize_clip
+    from workoutdetector_tpu.utils.export import export_model, load_exported
+
+    model = TimeSformer(num_class=3, num_segments=4, image_size=32,
+                        patch_size=8, embed_dims=32, num_layers=2,
+                        num_heads=2, dtype=jnp.float32)
+    x0 = jnp.zeros((2, 4, 32, 32, 3), jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, x0, train=False)
+    params = {k: (dict(b) if isinstance(b, dict) else b)
+              for k, b in v["params"].items()}
+    for k, blk in params.items():  # t_fc is zero-init: randomize so the
+        if k.startswith("block_"):  # fold is load-bearing
+            rng = jax.random.PRNGKey(abs(hash(k)) % (2 ** 31))
+            blk["t_fc"] = {"kernel": 0.1 * jax.random.normal(
+                rng, blk["t_fc"]["kernel"].shape),
+                "bias": jnp.full_like(blk["t_fc"]["bias"], 0.05)}
+    v = {"params": params}
+
+    path = export_model(model, v, str(tmp_path / "tsf"),
+                        input_shape=(2, 4, 32, 32, 3))
+    x_u8 = np.random.default_rng(0).integers(
+        0, 256, (2, 4, 32, 32, 3), dtype=np.uint8)
+    live = np.asarray(model.apply(v, normalize_clip(jnp.asarray(x_u8)),
+                                  train=False))
+    np.testing.assert_allclose(np.asarray(load_exported(path)(x_u8)), live,
+                               atol=1e-4, rtol=1e-4)
+
+
 @pytest.mark.parametrize("model_type", ["tsm", "tdn", "tpn", "timesformer"])
 def test_export_cli_every_video_family(tmp_path, model_type):
     """The export CLI must produce a loadable .jaxm for EVERY video model

@@ -22,7 +22,13 @@ from workoutdetector_tpu.ops.preprocess import normalize_clip
 
 
 def make_inference_fn(model: Any, variables: Dict[str, Any]) -> Callable:
-    """Deployment graph: uint8 windows → logits, weights closed over."""
+    """Deployment graph: uint8 windows → logits, weights closed over.
+
+    Inference-only exact rewrites are applied before serialization (same
+    set as InferenceEngine: TimeSformer t_fc→proj fold, −3.7% device
+    time / −6% artifact size; no-op for other families)."""
+    from workoutdetector_tpu.models.timesformer import fold_for_inference
+    model, variables = fold_for_inference(model, dict(variables))
 
     def fn(x_u8: jnp.ndarray) -> jnp.ndarray:
         return model.apply(variables, normalize_clip(x_u8), train=False)
