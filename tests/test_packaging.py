@@ -1,0 +1,25 @@
+"""Packaging + codec-probe parity (reference setup.py / scripts/video_codecs.py)."""
+
+import importlib
+import os.path as osp
+import tomllib
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+def test_pyproject_entry_points_resolve():
+    with open(osp.join(REPO, "pyproject.toml"), "rb") as f:
+        meta = tomllib.load(f)
+    assert meta["project"]["name"] == "workoutdetector-tpu"
+    for spec in meta["project"]["scripts"].values():
+        mod, fn = spec.split(":")
+        assert callable(getattr(importlib.import_module(mod), fn))
+
+
+def test_codec_probe_reports_working_mp4v():
+    from workoutdetector_tpu.scripts.video_codecs import probe
+    report = probe()
+    assert isinstance(report["native_libav_decode"], bool)
+    # write_video (data/video.py) encodes mp4v — the probe must agree that
+    # the path the framework actually uses works in this image
+    assert report["encoders"]["mp4v.mp4"] is True

@@ -367,7 +367,8 @@ def test_export_folds_timesformer_tfc(tmp_path):
                                atol=1e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("model_type", ["tsm", "tdn", "tpn", "timesformer"])
+@pytest.mark.parametrize("model_type",
+                         ["tsm", "tdn", "tpn", "timesformer", "repnet"])
 def test_export_cli_every_video_family(tmp_path, model_type):
     """The export CLI must produce a loadable .jaxm for EVERY video model
     family — it derives the traced shape from factory.example_input
@@ -386,6 +387,8 @@ def test_export_cli_every_video_family(tmp_path, model_type):
         opts += ["model.base_model", "tiny", "model.image_size", "32",
                  "model.patch_size", "8", "model.embed_dims", "32",
                  "model.num_layers", "1", "model.num_heads", "2"]
+    elif model_type == "repnet":
+        opts += ["model.base_model", "tiny"]
     else:
         opts += ["model.base_model",
                  "resnet50" if model_type == "tdn" else "resnet18"]
@@ -397,5 +400,6 @@ def test_export_cli_every_video_family(tmp_path, model_type):
     x = np.zeros(example_input(cfg.model, batch=2, image_size=32).shape,
                  np.uint8)
     logits = np.asarray(m(x))
-    assert logits.shape == (2, 3)
+    # repnet derives num_class = num_segments // 2 (cfg.num_class ignored)
+    assert logits.shape == (2, 2 if model_type == "repnet" else 3)
     assert m.meta.get("model_type") == model_type

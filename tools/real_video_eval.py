@@ -225,12 +225,85 @@ def train_eval(image_size: int, steps: int, train_reps: int,
                 pred_rep_starts=reps[::2], gt_rep_starts=GT_REP_STARTS)
 
 
+def repnet_eval(steps: int, image_size: int, lr: float) -> dict:
+    """Train the RepNet period family on SYNTHETIC clips only, then count
+    the four real example videos (models/repnet.py, zero annotations):
+    the transfer test for the learnable counter. Report per-video counts
+    + raw MAE/OBO (utils/eval.py:11-24 definitions)."""
+    import numpy as np
+
+    from workoutdetector_tpu.config import Config
+    from workoutdetector_tpu.counting import obo_mae
+    from workoutdetector_tpu.data.datasets import SyntheticPeriodicDataset
+    from workoutdetector_tpu.infer import count_by_repnet
+    from workoutdetector_tpu.infer.engine import InferenceEngine
+    from workoutdetector_tpu.parallel.mesh import shard_batch
+    from workoutdetector_tpu.train.trainer import Trainer
+
+    t_win = 64
+    cfg = Config()
+    cfg.model.model_type = "repnet"
+    cfg.model.base_model = "small"
+    cfg.model.num_segments = t_win
+    cfg.model.dropout = 0.25
+    cfg.model.dtype = "float32"
+    cfg.model.partial_bn = False
+    cfg.model.aux_loss_weight = 0.5
+    cfg.data.image_size = image_size
+    cfg.data.num_segments = t_win
+    cfg.optimizer.method = "adamw"
+    cfg.optimizer.lr = lr
+    cfg.optimizer.weight_decay = 1e-4
+    cfg.optimizer.use_tsn_policies = False
+    trainer = Trainer(cfg)
+    state = trainer.init_state(steps_per_epoch=max(steps, 1),
+                               image_size=image_size)
+    step = trainer.train_step_fn()
+    ds = SyntheticPeriodicDataset(num_segments=t_win, size=1_000_000,
+                                  image_size=image_size, split="train")
+    rng = np.random.default_rng(0)
+    batch = 16
+    t0, last = time.time(), {}
+    for s in range(steps):
+        idx = rng.integers(0, len(ds), size=batch)
+        items = [ds.__getitem__(int(i), rng) for i in idx]
+        x = np.stack([it[0] for it in items])
+        y = np.array([it[1] for it in items], np.int32)
+        bx, by = shard_batch((x, y), trainer.mesh)
+        state, m = step(state, bx, by)
+        if s % 50 == 0 or s == steps - 1:
+            last = {k: float(np.asarray(v)) for k, v in m.items()}
+            print(f"step {s} loss {last['loss']:.3f} acc {last['acc']:.2f} "
+                  f"t={time.time() - t0:.0f}s", file=sys.stderr, flush=True)
+
+    engine = InferenceEngine(
+        trainer.model,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        num_segments=t_win, window_batch=4, image_size=image_size)
+    preds, gts, rows = [], [], []
+    for name, (action, gt) in COUNTIX_GT.items():
+        count, period, strength = count_by_repnet(
+            engine, osp.join(EXAMPLES, name))
+        rows.append(dict(video=name, action=action, gt=gt, pred=count,
+                         period_frames=period,
+                         strength=round(float(strength), 3)))
+        preds.append(count)
+        gts.append(gt)
+    mae, obo = obo_mae(preds, gts)
+    return dict(mode="repnet", steps=steps,
+                final_train_acc=round(last.get("acc", 0.0), 3),
+                videos=rows, raw_mae=round(mae, 4),
+                obo_exact1=round(obo, 4),
+                within_one=sum(abs(p - g) <= 1 for p, g in zip(preds, gts)))
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    parser.add_argument("--mode", choices=("similarity", "train"),
+    parser.add_argument("--mode", choices=("similarity", "train", "repnet"),
                         default="similarity")
     parser.add_argument("--cpu", action="store_true")
-    parser.add_argument("--image-size", type=int, default=112)
+    parser.add_argument("--image-size", type=int, default=None,
+                        help="default: 112 (train mode) / 64 (repnet)")
     parser.add_argument("--steps", type=int, default=480)
     parser.add_argument("--train-reps", type=int, default=6)
     parser.add_argument("--lr", type=float, default=3e-4)
@@ -245,9 +318,11 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     if args.mode == "similarity":
         res = similarity_eval()
+    elif args.mode == "repnet":
+        res = repnet_eval(args.steps, args.image_size or 64, args.lr)
     else:
-        res = train_eval(args.image_size, args.steps, args.train_reps,
-                         args.lr)
+        res = train_eval(args.image_size or 112, args.steps,
+                         args.train_reps, args.lr)
     print(json.dumps(res))
 
 

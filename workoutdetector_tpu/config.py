@@ -196,7 +196,7 @@ class LRSchedulerConfig(ConfigNode):
 
 @dataclass
 class ModelConfig(ConfigNode):
-    model_type: str = "tsm"  # tsm | tdn | tpn | timesformer | image
+    model_type: str = "tsm"  # tsm | tdn | tpn | timesformer | repnet | image
     num_class: int = 12
     num_segments: int = 8
     num_frames: int = 1  # TDN: frames per segment (5)
@@ -254,7 +254,7 @@ class SplitConfig(ConfigNode):
 
 @dataclass
 class DataConfig(ConfigNode):
-    dataset_type: str = "FrameDataset"  # FrameDataset|ImageDataset|TDNDataset|DebugDataset
+    dataset_type: str = "FrameDataset"  # FrameDataset|ImageDataset|TDNDataset|DebugDataset|SyntheticPeriodic
     # person-crop detector backend: 'motion' (saliency heuristic) or
     # 'learned' (models/detector.CenterNetDetector weights at
     # person_checkpoint — the fasterrcnn-equivalent capability)

@@ -241,6 +241,98 @@ class SuperImageDataset:
         return len(self.labels)
 
 
+def synth_periodic_clip(rng: np.random.Generator,
+                        length: int,
+                        image_size: int,
+                        period: int = 0,
+                        mode: Optional[str] = None) -> np.ndarray:
+    """Render one synthetic motion clip → (length, S, S, 3) uint8.
+
+    A square object moves over a noisy constant background. period ≥ 2
+    ⇒ sinusoidal oscillation with that period (the repetition the RepNet
+    family learns to count); period 0 ⇒ an aperiodic clip drawn from
+    ``mode`` ∈ {static, drift, walk} (random when None) — the negatives
+    that teach class 0.
+    """
+    s = image_size
+    bg = rng.integers(0, 256, size=3)
+    color = (bg + 96 + rng.integers(0, 64, size=3)) % 256
+    side = int(rng.integers(max(s // 6, 2), max(s // 3, 3)))
+    lo, hi = 0.0, float(s - side)
+    c0 = (lo + hi) / 2.0
+    amp = rng.uniform(0.5, 0.96) * (hi - lo) / 2.0
+    t = np.arange(length, dtype=np.float32)
+    if period >= 2:
+        phase = rng.uniform(0, 2 * np.pi)
+        wave = np.sin(2 * np.pi * t / period + phase)
+        axis = rng.choice(["x", "y", "xy"])
+        if axis == "xy":  # circular motion
+            px = c0 + amp * wave
+            py = c0 + amp * np.sin(2 * np.pi * t / period + phase
+                                   + np.pi / 2)
+        elif axis == "x":
+            px, py = c0 + amp * wave, np.full_like(t, c0)
+        else:
+            px, py = np.full_like(t, c0), c0 + amp * wave
+    else:
+        mode = mode or str(rng.choice(["static", "drift", "walk"]))
+        if mode == "static":
+            px = py = np.full_like(t, c0)
+        elif mode == "drift":
+            px = lo + (hi - lo) * t / max(length - 1, 1)
+            py = np.full_like(t, c0)
+        else:  # random walk, step scale ~ the periodic case's speed
+            steps = rng.normal(0.0, amp / 6.0, size=(2, length))
+            px = np.clip(c0 + np.cumsum(steps[0]), lo, hi)
+            py = np.clip(c0 + np.cumsum(steps[1]), lo, hi)
+    frames = np.empty((length, s, s, 3), np.float32)
+    frames[:] = bg
+    for i in range(length):
+        x0, y0 = int(round(px[i])), int(round(py[i]))
+        frames[i, y0:y0 + side, x0:x0 + side] = color
+    frames += rng.normal(0.0, 6.0, size=frames.shape)
+    return np.clip(frames, 0, 255).astype(np.uint8)
+
+
+class SyntheticPeriodicDataset:
+    """On-the-fly periodic-motion clips for the RepNet counting family
+    (beyond reference; its notebooks/similarity_image.ipynb explores the
+    self-similarity idea but ships no trainable counter).
+
+    Label convention matches models/repnet.RepNet: 0 = aperiodic,
+    k ≥ 1 = sinusoidal motion of period (k+1) frames; num_class =
+    num_segments // 2 so at least two full cycles fit in every clip.
+    Items are deterministic in (split, idx) when the loader doesn't
+    supply an rng — val/test sets are stable across epochs.
+    """
+
+    def __init__(self,
+                 num_segments: int = 64,
+                 size: int = 2000,
+                 image_size: int = 64,
+                 split: str = "train") -> None:
+        self.num_segments = num_segments
+        self.num_class = num_segments // 2
+        self.size = size
+        self.image_size = image_size
+        # disjoint deterministic streams per split
+        self.index_offset = {"train": 0, "val": 1, "test": 2}.get(split, 0) \
+            * 1_000_003
+
+    def __len__(self) -> int:
+        return self.size
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None
+                   ) -> Tuple[np.ndarray, int]:
+        if rng is None:
+            rng = np.random.default_rng(self.index_offset + idx)
+        label = idx % self.num_class
+        period = 0 if label == 0 else label + 1
+        clip = synth_periodic_clip(rng, self.num_segments, self.image_size,
+                                   period=period)
+        return clip, label
+
+
 def build_dataset(cfg: DataConfig, split: str):
     """Dataset factory dispatching on cfg.dataset_type
     (reference datasets/build.py:10-63)."""
@@ -250,6 +342,13 @@ def build_dataset(cfg: DataConfig, split: str):
                             num_segments=cfg.num_segments,
                             size=cfg.debug_size,
                             image_size=cfg.image_size)
+    if cfg.dataset_type == "SyntheticPeriodic":
+        # RepNet counting family trains on synthesized repetitions; val
+        # and test draw from disjoint deterministic streams
+        return SyntheticPeriodicDataset(num_segments=cfg.num_segments,
+                                        size=cfg.debug_size,
+                                        image_size=cfg.image_size,
+                                        split=split)
     split_cfg = getattr(cfg, split)
     person_crop = None
     # person crop is a TEST-pipeline transform (reference build.py:26-28:

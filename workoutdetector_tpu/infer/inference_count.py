@@ -138,6 +138,88 @@ def count_by_motion_periodicity(video_path: str,
                                         min_strength=min_strength)
 
 
+def count_by_repnet(engine: InferenceEngine,
+                    video_path: str,
+                    rates: Sequence[int] = (1, 2, 4, 8),
+                    min_periodicity: float = 0.5
+                    ) -> Tuple[int, int, float]:
+    """Count reps with the learnable RepNet period family
+    (models/repnet.RepNet trained on SyntheticPeriodicDataset).
+
+    The video is scored at several temporal subsampling rates; the rate
+    whose frames look most periodic to the model wins. The count itself
+    (Σ 1/period over periodic frames) is rate-invariant, so rate choice
+    only affects which frames fall inside the model's period range
+    (2..T/2 window frames). Windows are padded to the engine's
+    window_batch so every video reuses ONE compiled program.
+
+    Returns:
+        (count, period_frames, strength): period in original-video
+        frames (median over periodic frames), strength = mean periodic
+        probability at the winning rate.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from workoutdetector_tpu.models.repnet import (count_from_frame_logits,
+                                                   period_of_class)
+    model = engine.model
+    t_win = model.num_segments
+    wb = max(engine.window_batch, 1)
+    fn = getattr(engine, "_repnet_fn", None)
+    if fn is None:
+        from workoutdetector_tpu.ops.preprocess import normalize_clip
+
+        def frame_logits_fn(x_u8):
+            _, inter = model.apply(engine.variables, normalize_clip(x_u8),
+                                   train=False, mutable=["intermediates"])
+            return inter["intermediates"]["aux_logits"][0]
+
+        fn = jax.jit(frame_logits_fn)
+        engine._repnet_fn = fn
+    with VideoReader(video_path) as r:
+        video = r.read_prepped(round(engine.image_size * 256 / 224),
+                               engine.image_size)
+    best = (0, 0, 0.0)  # (count, period_frames, strength)
+    best_strength = -1.0
+    for rate in rates:
+        xs = video[::rate]
+        if len(xs) < 2:
+            continue
+        n_win = -(-len(xs) // t_win)
+        pad = n_win * t_win - len(xs)
+        valid = np.arange(n_win * t_win) < len(xs)
+        if pad:
+            xs = np.concatenate([xs, np.repeat(xs[-1:], pad, axis=0)])
+        wins = xs.reshape(n_win, t_win, *xs.shape[1:])
+        valid = valid.reshape(n_win, t_win)
+        logits = []
+        for i in range(0, n_win, wb):
+            chunk = wins[i:i + wb]
+            if len(chunk) < wb:  # keep ONE compiled shape
+                chunk = np.concatenate(
+                    [chunk, np.zeros((wb - len(chunk), *chunk.shape[1:]),
+                                     chunk.dtype)])
+            logits.append(np.asarray(fn(jnp.asarray(chunk))))
+        fl = np.concatenate(logits)[:n_win]  # (n_win, T, C)
+        count, strength = count_from_frame_logits(fl, valid,
+                                                  min_periodicity)
+        if strength > best_strength:
+            # median predicted period over periodic frames, in
+            # original-video frame units
+            p = np.exp(fl - fl.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            periodic = (1.0 - p[..., 0] >= min_periodicity) & valid
+            if periodic.any():
+                ids = np.argmax(p[..., 1:], -1)[periodic] + 1
+                period = int(np.median(period_of_class(ids))) * rate
+            else:
+                period = 0
+            best = (int(round(count)), period, float(strength))
+            best_strength = strength
+    return best
+
+
 def count_by_image_model(engine: InferenceEngine,
                          video_path: str,
                          ground_truth: Optional[List[int]] = None,
@@ -291,7 +373,7 @@ def eval_dataset(engine: InferenceEngine,
     """
     if anno_path is None:
         anno_path = os.path.join(data_root, "annotation.csv")
-    if model_type not in ("video", "image", "similarity", "motion"):
+    if model_type not in ("video", "image", "similarity", "motion", "repnet"):
         raise ValueError(f"Invalid model type: {model_type}")
     helper = RepcountHelper(data_root, anno_path)
     items = helper.get_rep_data(split=[split], action=action)
@@ -307,6 +389,8 @@ def eval_dataset(engine: InferenceEngine,
             out_path = os.path.join(output_dir, name)
         if model_type == "motion":
             count, _, _ = count_by_motion_periodicity(item.video_path)
+        elif model_type == "repnet":
+            count, _, _ = count_by_repnet(engine, item.video_path)
         elif model_type == "similarity":
             count, _, _ = count_by_similarity(engine, item.video_path)
         elif model_type == "video":

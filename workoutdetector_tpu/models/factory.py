@@ -109,6 +109,22 @@ def build_model(cfg: ModelConfig) -> nn.Module:
                            dropout=cfg.dropout,
                            drop_path_rate=cfg.drop_path_rate,
                            dtype=dtype)
+    if mt == "repnet":
+        # RepNet-style period counter (models/repnet.py; the learnable
+        # counterpart of the reference's similarity-notebook exploration).
+        # num_class is DERIVED (= num_segments // 2, class 0 aperiodic);
+        # cfg.num_class is ignored by design.
+        from workoutdetector_tpu.models.repnet import (REPNET_VARIANTS,
+                                                       RepNet)
+        width, embed, model_dim, heads = REPNET_VARIANTS.get(
+            cfg.base_model, REPNET_VARIANTS["base"])
+        return RepNet(num_segments=cfg.num_segments,
+                      width=width,
+                      embed_dim=embed,
+                      model_dim=model_dim,
+                      num_heads=heads,
+                      dropout=cfg.dropout,
+                      dtype=dtype)
     if mt == "image":
         # image-classifier path (reference train_img.py:44 defaults to
         # timm convnext_base): ConvNeXt zoo + ResNet zoo
@@ -159,7 +175,7 @@ def example_input(cfg: ModelConfig, batch: int = 1, image_size: int = 224) -> jn
         return jnp.zeros(
             (batch, cfg.num_segments, cfg.image_size, cfg.image_size, 3),
             jnp.float32)
-    if mt in ("tsm", "tpn"):
+    if mt in ("tsm", "tpn", "repnet"):
         return jnp.zeros((batch, cfg.num_segments, image_size, image_size, 3),
                          jnp.float32)
     if mt == "tdn":

@@ -87,10 +87,13 @@ def main() -> None:
     parser = argparse.ArgumentParser(description="Workout demo (CLI fallback)")
     parser.add_argument("-i", "--video", required=True)
     parser.add_argument("--task",
-                        choices=["count", "recognize", "count-similarity"],
+                        choices=["count", "recognize", "count-similarity",
+                                 "count-repnet"],
                         default="count",
                         help="count-similarity: training-free periodicity "
-                             "counter (no checkpoint needed)")
+                             "counter (no checkpoint needed); count-repnet: "
+                             "learnable period counter (models/repnet.py, "
+                             "--cfg configs/repnet.yaml --checkpoint ...)")
     parser.add_argument("--cfg", default=None)
     parser.add_argument("--checkpoint", default=None,
                         help="orbax checkpoint dir or .jaxm artifact "
@@ -117,6 +120,30 @@ def main() -> None:
         return
     if args.task == "recognize":
         cfg.model.num_class = len(WORKOUT_LABELS)
+    if args.task == "count-repnet":
+        cfg.model.model_type = "repnet"
+        from workoutdetector_tpu.infer import count_by_repnet
+        model = build_model(cfg.model)
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               example_input(
+                                   cfg.model,
+                                   image_size=cfg.data.image_size),
+                               train=False)
+        if args.checkpoint:
+            from workoutdetector_tpu.train.checkpoint import CheckpointManager
+            mgr = CheckpointManager(os.path.dirname(args.checkpoint) or ".")
+            restored = mgr.restore_variables(args.checkpoint)
+            variables = {"params": restored["params"],
+                         "batch_stats": restored.get(
+                             "batch_stats", variables.get("batch_stats", {}))}
+        engine = InferenceEngine(model, variables,
+                                 num_segments=cfg.model.num_segments,
+                                 image_size=cfg.data.image_size,
+                                 window_batch=4)
+        count, period, strength = count_by_repnet(engine, args.video)
+        print(json.dumps({"count": count, "period_frames": period,
+                          "strength": round(float(strength), 4)}))
+        return
     if args.checkpoint and args.checkpoint.endswith(".jaxm"):
         engine = InferenceEngine.from_exported(args.checkpoint)
     else:

@@ -136,11 +136,17 @@ class Trainer:
                     rngs={"dropout": dropout_rng})
                 loss = cross_entropy_loss(out, y)
                 # auxiliary-head CE (TPN neck aux_head_cfg loss_weight,
-                # reference configs/tpn.py:22) — models sow 'aux_logits'
+                # reference configs/tpn.py:22) — models sow 'aux_logits'.
+                # A (B, T, C) sow is DENSE per-frame supervision (RepNet
+                # family): the clip label broadcasts over frames.
                 inter = updates.get("intermediates", {})
                 if "aux_logits" in inter:
-                    loss = loss + aux_w * cross_entropy_loss(
-                        inter["aux_logits"][0], y)
+                    aux = inter["aux_logits"][0]
+                    ya = y
+                    if aux.ndim == 3:
+                        ya = jnp.repeat(y, aux.shape[1])
+                        aux = aux.reshape(-1, aux.shape[-1])
+                    loss = loss + aux_w * cross_entropy_loss(aux, ya)
                 return loss, (out, updates.get("batch_stats", state.batch_stats))
 
             (loss, (logits, new_stats)), grads = jax.value_and_grad(
