@@ -180,6 +180,53 @@ def test_trains_and_counts_synthetic_video(tmp_path):
     assert abs(count - 16) <= 4, f"count {count} vs true 16 (period {period})"
 
 
+def test_exported_artifact_counts_like_live_engine(tmp_path):
+    """RepNet .jaxm artifacts bake the PER-FRAME logits graph
+    (utils/export.make_inference_fn repnet branch): counting from the
+    deployed artifact must match the live engine exactly."""
+    from workoutdetector_tpu.infer import count_by_repnet
+    from workoutdetector_tpu.infer.engine import InferenceEngine
+    from workoutdetector_tpu.utils.export import export_model
+    import workoutdetector_tpu.infer.inference_count as ic
+
+    model = RepNet(num_segments=8, width=4, embed_dim=8, model_dim=16,
+                   num_heads=2, sim_channels=4, dropout=0.0)
+    x = jnp.zeros((1, 8, 16, 16, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    path = export_model(model, variables, str(tmp_path / "repnet"),
+                        input_shape=(2, 8, 16, 16, 3),
+                        meta={"model_type": "repnet"})
+    live = InferenceEngine(model, variables, num_segments=8,
+                           window_batch=2, image_size=16)
+    deployed = InferenceEngine.from_exported(path)
+    assert deployed.num_segments == 8 and deployed.window_batch == 2
+
+    video = synth_periodic_clip(np.random.default_rng(5), 24, 16, period=4)
+
+    class _Reader:
+        def __init__(self, path):
+            pass
+
+        def read_prepped(self, scale, crop, **kw):
+            return video
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    orig = ic.VideoReader
+    ic.VideoReader = _Reader
+    try:
+        got_live = count_by_repnet(live, "synthetic://", rates=(1,))
+        got_dep = count_by_repnet(deployed, "synthetic://", rates=(1,))
+    finally:
+        ic.VideoReader = orig
+    assert got_dep[0] == got_live[0] and got_dep[1] == got_live[1]
+    np.testing.assert_allclose(got_dep[2], got_live[2], rtol=1e-5)
+
+
 def test_trainer_harness_fast_dev_run(tmp_path):
     cfg = tiny_cfg()
     cfg.trainer.fast_dev_run = True

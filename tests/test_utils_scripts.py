@@ -400,6 +400,10 @@ def test_export_cli_every_video_family(tmp_path, model_type):
     x = np.zeros(example_input(cfg.model, batch=2, image_size=32).shape,
                  np.uint8)
     logits = np.asarray(m(x))
-    # repnet derives num_class = num_segments // 2 (cfg.num_class ignored)
-    assert logits.shape == (2, 2 if model_type == "repnet" else 3)
+    if model_type == "repnet":
+        # repnet artifacts carry the PER-FRAME logits graph (counting
+        # needs it); num_class is derived = num_segments // 2
+        assert logits.shape == (2, 4, 2)
+    else:
+        assert logits.shape == (2, 3)
     assert m.meta.get("model_type") == model_type

@@ -97,6 +97,7 @@ class InferenceEngine:
         self.variables = None
         self.mesh = None
         self.gather = "host"
+        self.meta = art.meta
         self.labels = art.meta.get("labels")
         self.window_batch = int(shape[0])
         self.input_rank = len(shape)

@@ -163,19 +163,28 @@ def count_by_repnet(engine: InferenceEngine,
 
     from workoutdetector_tpu.models.repnet import (count_from_frame_logits,
                                                    period_of_class)
-    model = engine.model
-    t_win = model.num_segments
+    t_win = engine.num_segments
     wb = max(engine.window_batch, 1)
     fn = getattr(engine, "_repnet_fn", None)
     if fn is None:
-        from workoutdetector_tpu.ops.preprocess import normalize_clip
+        if engine.model is None:
+            # .jaxm artifact: RepNet exports its per-frame logits graph
+            # directly (utils/export.make_inference_fn)
+            assert getattr(engine, "meta", {}).get("model_type") == \
+                "repnet", "artifact was not exported from a repnet model"
+            fn = engine._fn
+        else:
+            from workoutdetector_tpu.ops.preprocess import normalize_clip
+            model = engine.model
 
-        def frame_logits_fn(x_u8):
-            _, inter = model.apply(engine.variables, normalize_clip(x_u8),
-                                   train=False, mutable=["intermediates"])
-            return inter["intermediates"]["aux_logits"][0]
+            def frame_logits_fn(x_u8):
+                _, inter = model.apply(engine.variables,
+                                       normalize_clip(x_u8),
+                                       train=False,
+                                       mutable=["intermediates"])
+                return inter["intermediates"]["aux_logits"][0]
 
-        fn = jax.jit(frame_logits_fn)
+            fn = jax.jit(frame_logits_fn)
         engine._repnet_fn = fn
     with VideoReader(video_path) as r:
         video = r.read_prepped(round(engine.image_size * 256 / 224),

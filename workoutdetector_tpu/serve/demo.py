@@ -123,23 +123,31 @@ def main() -> None:
     if args.task == "count-repnet":
         cfg.model.model_type = "repnet"
         from workoutdetector_tpu.infer import count_by_repnet
-        model = build_model(cfg.model)
-        variables = model.init({"params": jax.random.PRNGKey(0)},
-                               example_input(
-                                   cfg.model,
-                                   image_size=cfg.data.image_size),
-                               train=False)
-        if args.checkpoint:
-            from workoutdetector_tpu.train.checkpoint import CheckpointManager
-            mgr = CheckpointManager(os.path.dirname(args.checkpoint) or ".")
-            restored = mgr.restore_variables(args.checkpoint)
-            variables = {"params": restored["params"],
-                         "batch_stats": restored.get(
-                             "batch_stats", variables.get("batch_stats", {}))}
-        engine = InferenceEngine(model, variables,
-                                 num_segments=cfg.model.num_segments,
-                                 image_size=cfg.data.image_size,
-                                 window_batch=4)
+        if args.checkpoint and args.checkpoint.endswith(".jaxm"):
+            # deployed artifact: bakes the per-frame logits graph
+            # (utils/export.make_inference_fn repnet branch)
+            engine = InferenceEngine.from_exported(args.checkpoint)
+        else:
+            model = build_model(cfg.model)
+            variables = model.init({"params": jax.random.PRNGKey(0)},
+                                   example_input(
+                                       cfg.model,
+                                       image_size=cfg.data.image_size),
+                                   train=False)
+            if args.checkpoint:
+                from workoutdetector_tpu.train.checkpoint import \
+                    CheckpointManager
+                mgr = CheckpointManager(
+                    os.path.dirname(args.checkpoint) or ".")
+                restored = mgr.restore_variables(args.checkpoint)
+                variables = {"params": restored["params"],
+                             "batch_stats": restored.get(
+                                 "batch_stats",
+                                 variables.get("batch_stats", {}))}
+            engine = InferenceEngine(model, variables,
+                                     num_segments=cfg.model.num_segments,
+                                     image_size=cfg.data.image_size,
+                                     window_batch=4)
         count, period, strength = count_by_repnet(engine, args.video)
         print(json.dumps({"count": count, "period_frames": period,
                           "strength": round(float(strength), 4)}))

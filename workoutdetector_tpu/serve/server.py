@@ -366,6 +366,11 @@ def main() -> None:
         # deployed artifact: weights + fused preprocessing baked in —
         # the reference's serve-from-.onnx path (app/inference.py:51)
         engine = InferenceEngine.from_exported(args.checkpoint)
+        if engine.meta.get("model_type") == "repnet":
+            raise SystemExit(
+                "repnet artifacts carry per-frame period logits, not class "
+                "scores — count with `serve.demo --task count-repnet` "
+                "instead of the classification server")
         WorkoutServer(engine, labels=engine.labels,
                       http_port=args.port).run()
         return

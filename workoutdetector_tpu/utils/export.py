@@ -30,6 +30,18 @@ def make_inference_fn(model: Any, variables: Dict[str, Any]) -> Callable:
     from workoutdetector_tpu.models.timesformer import fold_for_inference
     model, variables = fold_for_inference(model, dict(variables))
 
+    from workoutdetector_tpu.models.repnet import RepNet
+    if isinstance(model, RepNet):
+        # the period family deploys its PER-FRAME logits (B, T, C) —
+        # counting (infer.count_by_repnet) needs them, and the consensus
+        # is just their frame mean, so nothing is lost
+        def frame_fn(x_u8: jnp.ndarray) -> jnp.ndarray:
+            _, inter = model.apply(variables, normalize_clip(x_u8),
+                                   train=False, mutable=["intermediates"])
+            return inter["intermediates"]["aux_logits"][0]
+
+        return frame_fn
+
     def fn(x_u8: jnp.ndarray) -> jnp.ndarray:
         return model.apply(variables, normalize_clip(x_u8), train=False)
 
