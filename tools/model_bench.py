@@ -51,10 +51,13 @@ def _flop_analysis(fn, *args):
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="timesformer",
-                   choices=["tsm", "tdn", "tpn", "timesformer"])
+                   choices=["tsm", "tdn", "tpn", "timesformer", "repnet"])
     p.add_argument("--base-model", default=None)
     p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--image-size", type=int, default=224,
+                   help="repnet ships at 64 (configs/repnet.yaml)")
+    p.add_argument("--segments", type=int, default=None,
+                   help="override cfg.num_segments (repnet ships at 64)")
     p.add_argument("--steps", type=int, default=80,
                    help="large default: dispatch overhead on the lazy "
                         "tunneled backend only amortizes past ~40 steps")
@@ -86,6 +89,8 @@ def main() -> None:
     cfg.model_type = args.model
     cfg.dropout = 0.0
     cfg.image_size = args.image_size
+    if args.segments:
+        cfg.num_segments = args.segments
     if args.flash:
         cfg.flash_attention = args.flash
     if args.base_model:
@@ -129,9 +134,14 @@ def main() -> None:
                 loss = -jnp.mean(logp[jnp.arange(out.shape[0]), y])
                 inter = upd.get("intermediates", {})
                 if "aux_logits" in inter:
-                    a = jax.nn.log_softmax(inter["aux_logits"][0])
+                    a = inter["aux_logits"][0]
+                    ya = y
+                    if a.ndim == 3:  # dense (B,T,C) sow: labels over T
+                        ya = jnp.repeat(y, a.shape[1])
+                        a = a.reshape(-1, a.shape[-1])
+                    a = jax.nn.log_softmax(a)
                     loss = loss + 0.5 * -jnp.mean(
-                        a[jnp.arange(out.shape[0]), y])
+                        a[jnp.arange(a.shape[0]), ya])
                 return loss, upd.get("batch_stats", batch_stats)
 
             (loss, new_stats), grads = jax.value_and_grad(

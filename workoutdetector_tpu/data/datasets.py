@@ -245,14 +245,34 @@ def synth_periodic_clip(rng: np.random.Generator,
                         length: int,
                         image_size: int,
                         period: int = 0,
-                        mode: Optional[str] = None) -> np.ndarray:
+                        mode: Optional[str] = None,
+                        kind: Optional[str] = None) -> np.ndarray:
     """Render one synthetic motion clip → (length, S, S, 3) uint8.
 
-    A square object moves over a noisy constant background. period ≥ 2
-    ⇒ sinusoidal oscillation with that period (the repetition the RepNet
-    family learns to count); period 0 ⇒ an aperiodic clip drawn from
-    ``mode`` ∈ {static, drift, walk} (random when None) — the negatives
-    that teach class 0.
+    One rectangular "actor" moves over a noisy constant background with
+    0-2 static distractor squares and handheld-style camera jitter.
+    period ≥ 2 ⇒ sinusoidal repetition of that period with a motion
+    ``kind`` (random when None) chosen to span how real exercise looks
+    at low resolution:
+
+      translate — whole-body displacement (jumping jacks, pull-ups)
+      squash    — height compresses about a fixed bottom edge, width
+                  anti-phase (squats, push-ups)
+      scale     — approach/retreat about the center
+      swing     — rotation of the actor about an off-body pivot (arm
+                  curls, leg raises)
+
+    (A periodic-brightness 'flash' kind was measured HARMFUL on real
+    footage: it teaches appearance periodicity, and codec/sensor flicker
+    then reads as fast reps — a squat video counted 3→23 at a 0.5 s
+    period. Brightness variation appears only as a NEGATIVE.)
+
+    period 0 ⇒ an aperiodic negative from ``mode`` ∈ {static, drift,
+    walk, scalewalk, flicker} (random when None) — the class-0 clips.
+    Negatives get the same camera jitter/distractors so structural
+    periodicity is the only separating signal; 'flicker' (random
+    brightness jumps on a static actor) explicitly maps appearance
+    noise to class 0.
     """
     s = image_size
     bg = rng.integers(0, 256, size=3)
@@ -262,34 +282,86 @@ def synth_periodic_clip(rng: np.random.Generator,
     c0 = (lo + hi) / 2.0
     amp = rng.uniform(0.5, 0.96) * (hi - lo) / 2.0
     t = np.arange(length, dtype=np.float32)
+    # defaults: fixed position/size/brightness, overridden per kind
+    px = py = np.full_like(t, c0)
+    w_t = np.full_like(t, float(side))
+    h_t = np.full_like(t, float(side))
+    gain = np.ones_like(t)
     if period >= 2:
         phase = rng.uniform(0, 2 * np.pi)
         wave = np.sin(2 * np.pi * t / period + phase)
-        axis = rng.choice(["x", "y", "xy"])
-        if axis == "xy":  # circular motion
-            px = c0 + amp * wave
-            py = c0 + amp * np.sin(2 * np.pi * t / period + phase
-                                   + np.pi / 2)
-        elif axis == "x":
-            px, py = c0 + amp * wave, np.full_like(t, c0)
-        else:
-            px, py = np.full_like(t, c0), c0 + amp * wave
+        kind = kind or str(rng.choice(
+            ["translate", "squash", "scale", "swing"]))
+        if kind == "translate":
+            axis = rng.choice(["x", "y", "xy"])
+            if axis == "xy":  # circular motion
+                px = c0 + amp * wave
+                py = c0 + amp * np.sin(2 * np.pi * t / period + phase
+                                       + np.pi / 2)
+            elif axis == "x":
+                px = c0 + amp * wave
+            else:
+                py = c0 + amp * wave
+        elif kind == "squash":
+            # height oscillates about a FIXED bottom edge, width
+            # anti-phase — a squatting silhouette
+            depth = rng.uniform(0.35, 0.65)
+            h_t = side * (1.0 - depth * (0.5 + 0.5 * wave))
+            w_t = side * (1.0 + 0.5 * depth * (0.5 + 0.5 * wave))
+            py = (c0 + side) - h_t  # bottom edge pinned at c0 + side
+            px = c0 + (side - w_t) / 2.0
+        elif kind == "scale":
+            g = 1.0 + rng.uniform(0.3, 0.6) * wave
+            w_t, h_t = side * g, side * g
+            px, py = c0 + (side - w_t) / 2.0, c0 + (side - h_t) / 2.0
+        else:  # swing
+            r = rng.uniform(0.5, 0.9) * (hi - lo) / 2.0
+            th0 = rng.uniform(0, 2 * np.pi)
+            swing = rng.uniform(0.6, 1.4) * wave  # radians
+            px = c0 + r * np.cos(th0 + swing)
+            py = c0 + r * np.sin(th0 + swing)
     else:
-        mode = mode or str(rng.choice(["static", "drift", "walk"]))
+        mode = mode or str(rng.choice(["static", "drift", "walk",
+                                       "scalewalk", "flicker"]))
         if mode == "static":
-            px = py = np.full_like(t, c0)
+            pass
         elif mode == "drift":
             px = lo + (hi - lo) * t / max(length - 1, 1)
-            py = np.full_like(t, c0)
+        elif mode == "scalewalk":  # aperiodic size change
+            g = np.clip(1.0 + np.cumsum(rng.normal(0, 0.04, length)),
+                        0.4, 1.8)
+            w_t, h_t = side * g, side * g
+            px, py = c0 + (side - w_t) / 2.0, c0 + (side - h_t) / 2.0
+        elif mode == "flicker":  # appearance noise on a static actor
+            gain = np.clip(1.0 + rng.normal(0, 0.25, length), 0.4, 1.6)
         else:  # random walk, step scale ~ the periodic case's speed
             steps = rng.normal(0.0, amp / 6.0, size=(2, length))
             px = np.clip(c0 + np.cumsum(steps[0]), lo, hi)
             py = np.clip(c0 + np.cumsum(steps[1]), lo, hi)
+    # handheld camera jitter: bounded random walk applied to EVERYTHING
+    jit = np.clip(np.cumsum(rng.normal(0, 0.35, size=(2, length)), axis=1),
+                  -2.0, 2.0)
+    # static distractors (jitter with the camera, never periodic)
+    distractors = []
+    for _ in range(int(rng.integers(0, 3))):
+        d_side = int(rng.integers(max(s // 8, 2), max(s // 5, 3)))
+        distractors.append((float(rng.uniform(0, s - d_side)),
+                            float(rng.uniform(0, s - d_side)), d_side,
+                            (bg + rng.integers(32, 224, size=3)) % 256))
     frames = np.empty((length, s, s, 3), np.float32)
     frames[:] = bg
     for i in range(length):
-        x0, y0 = int(round(px[i])), int(round(py[i]))
-        frames[i, y0:y0 + side, x0:x0 + side] = color
+        for dx, dy, d_side, d_color in distractors:
+            x0 = int(round(dx + jit[0, i]))
+            y0 = int(round(dy + jit[1, i]))
+            x0, y0 = max(x0, 0), max(y0, 0)
+            frames[i, y0:y0 + d_side, x0:x0 + d_side] = d_color
+        x0 = int(round(px[i] + jit[0, i]))
+        y0 = int(round(py[i] + jit[1, i]))
+        x1 = min(max(x0 + int(round(w_t[i])), x0 + 1), s)
+        y1 = min(max(y0 + int(round(h_t[i])), y0 + 1), s)
+        x0, y0 = min(max(x0, 0), s - 1), min(max(y0, 0), s - 1)
+        frames[i, y0:y1, x0:x1] = np.clip(color * gain[i], 0, 255)
     frames += rng.normal(0.0, 6.0, size=frames.shape)
     return np.clip(frames, 0, 255).astype(np.uint8)
 
