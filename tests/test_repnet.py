@@ -179,6 +179,32 @@ def test_trains_and_counts_synthetic_video(tmp_path):
     assert strength > 0.4, f"periodicity not detected: {strength}"
     assert abs(count - 16) <= 4, f"count {count} vs true 16 (period {period})"
 
+    # localized motion: the same periodic clip confined to the top-left
+    # quadrant of a 2× frame (static background + sensor noise, matching
+    # the training stats). grid=True decodes at 2× and scores quadrant
+    # views — the quadrant must rescue what the full-frame downscale
+    # washes out (the remedy the similarity counter's spatial grid uses).
+    brng = np.random.default_rng(7)
+    bg = brng.integers(0, 256, size=(48, 48, 3)).astype(np.float32)
+    big = np.clip(bg[None] + brng.normal(0, 6.0, size=(96, 48, 48, 3)),
+                  0, 255).astype(np.uint8)
+    big[:, :24, :24] = video
+
+    class _BigReader(_Reader):
+        def read_prepped(self, scale, crop, **kw):
+            assert crop == 48, "grid mode must decode at 2x image_size"
+            return big
+
+    ic.VideoReader = _BigReader
+    try:
+        g_count, g_period, g_strength = count_by_repnet(
+            engine, "synthetic://", rates=(1, 2), grid=True)
+    finally:
+        ic.VideoReader = orig
+    assert g_strength > 0.4, f"grid missed localized motion: {g_strength}"
+    assert abs(g_count - 16) <= 4, \
+        f"grid count {g_count} vs true 16 (period {g_period})"
+
 
 def test_exported_artifact_counts_like_live_engine(tmp_path):
     """RepNet .jaxm artifacts bake the PER-FRAME logits graph

@@ -141,7 +141,8 @@ def count_by_motion_periodicity(video_path: str,
 def count_by_repnet(engine: InferenceEngine,
                     video_path: str,
                     rates: Sequence[int] = (1, 2, 4, 8),
-                    min_periodicity: float = 0.5
+                    min_periodicity: float = 0.5,
+                    grid: bool = False
                     ) -> Tuple[int, int, float]:
     """Count reps with the learnable RepNet period family
     (models/repnet.RepNet trained on SyntheticPeriodicDataset).
@@ -153,10 +154,16 @@ def count_by_repnet(engine: InferenceEngine,
     (2..T/2 window frames). Windows are padded to the engine's
     window_batch so every video reuses ONE compiled program.
 
+    ``grid=True`` additionally scores four quadrant crops (decoded once
+    at 2× and sliced) and keeps the most periodic view — the same
+    localized-motion remedy the similarity counter uses (its spatial
+    grid): motion confined to a small region (an arm, a head) is washed
+    out in the full-frame downscale but fills a quadrant.
+
     Returns:
         (count, period_frames, strength): period in original-video
         frames (median over periodic frames), strength = mean periodic
-        probability at the winning rate.
+        probability at the winning rate/view.
     """
     import jax
     import jax.numpy as jnp
@@ -186,12 +193,17 @@ def count_by_repnet(engine: InferenceEngine,
 
             fn = jax.jit(frame_logits_fn)
         engine._repnet_fn = fn
+    s = engine.image_size
     with VideoReader(video_path) as r:
-        video = r.read_prepped(round(engine.image_size * 256 / 224),
-                               engine.image_size)
+        if grid:
+            big = r.read_prepped(round(2 * s * 256 / 224), 2 * s)
+            views = [big[:, ::2, ::2], big[:, :s, :s], big[:, :s, s:],
+                     big[:, s:, :s], big[:, s:, s:]]
+        else:
+            views = [r.read_prepped(round(s * 256 / 224), s)]
     best = (0, 0, 0.0)  # (count, period_frames, strength)
     best_strength = -1.0
-    for rate in rates:
+    for video, rate in ((v, r_) for v in views for r_ in rates):
         xs = video[::rate]
         if len(xs) < 2:
             continue

@@ -100,6 +100,9 @@ def main() -> None:
                              "(reference demo loads .onnx, demo.py:62-72)")
     parser.add_argument("-o", "--output", default=None,
                         help="annotated video output path")
+    parser.add_argument("--grid", action="store_true",
+                        help="count-repnet: also score quadrant crops "
+                             "(localized-motion remedy)")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument("opts", nargs="*", help="dotted config overrides")
     args = parser.parse_args()
@@ -148,7 +151,8 @@ def main() -> None:
                                      num_segments=cfg.model.num_segments,
                                      image_size=cfg.data.image_size,
                                      window_batch=4)
-        count, period, strength = count_by_repnet(engine, args.video)
+        count, period, strength = count_by_repnet(engine, args.video,
+                                                  grid=args.grid)
         print(json.dumps({"count": count, "period_frames": period,
                           "strength": round(float(strength), 4)}))
         return
