@@ -225,7 +225,8 @@ def train_eval(image_size: int, steps: int, train_reps: int,
                 pred_rep_starts=reps[::2], gt_rep_starts=GT_REP_STARTS)
 
 
-def repnet_eval(steps: int, image_size: int, lr: float) -> dict:
+def repnet_eval(steps: int, image_size: int, lr: float,
+                grid: bool = False) -> dict:
     """Train the RepNet period family on SYNTHETIC clips only, then count
     the four real example videos (models/repnet.py, zero annotations):
     the transfer test for the learnable counter. Report per-video counts
@@ -289,14 +290,14 @@ def repnet_eval(steps: int, image_size: int, lr: float) -> dict:
     preds, gts, rows = [], [], []
     for name, (action, gt) in COUNTIX_GT.items():
         count, period, strength = count_by_repnet(
-            engine, osp.join(EXAMPLES, name))
+            engine, osp.join(EXAMPLES, name), grid=grid)
         rows.append(dict(video=name, action=action, gt=gt, pred=count,
                          period_frames=period,
                          strength=round(float(strength), 3)))
         preds.append(count)
         gts.append(gt)
     mae, obo = obo_mae(preds, gts)
-    return dict(mode="repnet", steps=steps,
+    return dict(mode="repnet", steps=steps, grid=grid,
                 final_train_acc=round(last.get("acc", 0.0), 3),
                 videos=rows, raw_mae=round(mae, 4),
                 obo_exact1=round(obo, 4),
@@ -316,6 +317,9 @@ def main() -> None:
                              "overfits synthetic texture)")
     parser.add_argument("--train-reps", type=int, default=6)
     parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--grid", action="store_true",
+                        help="repnet: also score quadrant views "
+                             "(count_by_repnet grid mode)")
     args = parser.parse_args()
     if not osp.isdir(EXAMPLES):
         print(json.dumps({"error": "reference example videos not mounted"}))
@@ -329,7 +333,7 @@ def main() -> None:
         res = similarity_eval()
     elif args.mode == "repnet":
         res = repnet_eval(args.steps or 720, args.image_size or 64,
-                          args.lr)
+                          args.lr, grid=args.grid)
     else:
         res = train_eval(args.image_size or 112, args.steps or 480,
                          args.train_reps, args.lr)
