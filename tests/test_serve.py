@@ -514,3 +514,79 @@ def test_ws_count_mode_multi_client_coalesces(server):
     # the shared batcher saw all requests; concurrency must coalesce at
     # least some of them (strictly fewer flushes than requests)
     assert n_flush < n_req, (n_flush, n_req)
+
+
+def test_ws_count_periodic_unavailable(server):
+    """'mode:count-periodic' on a server started without a repnet engine
+    must error cleanly and fall back to recognize."""
+
+    async def drive():
+        import websockets
+        ws_task = asyncio.create_task(server.serve_ws())
+        await asyncio.sleep(0.2)
+        try:
+            uri = f"ws://127.0.0.1:{server.ws_port}/ws/noperiodic"
+            async with websockets.connect(uri) as ws:
+                await ws.send("mode:count-periodic")
+                r = json.loads(await asyncio.wait_for(ws.recv(), 30))
+                assert r["success"] is False
+                assert "count-periodic" in r["msg"]
+                await ws.send("stop")
+        finally:
+            ws_task.cancel()
+            try:
+                await ws_task
+            except asyncio.CancelledError:
+                pass
+
+    asyncio.run(drive())
+
+
+def test_ws_count_periodic_mode():
+    """Live checkpoint-free counting: a repnet periodic_engine turns
+    'mode:count-periodic' on — one status message per scored hop with
+    the fractional-count fields."""
+    from workoutdetector_tpu.models.repnet import RepNet
+
+    rmodel = RepNet(num_segments=8, width=4, embed_dim=8, model_dim=16,
+                    num_heads=2, sim_channels=4, dropout=0.0)
+    rvars = rmodel.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((1, 8, SIZE, SIZE, 3)), train=False)
+    peng = InferenceEngine(rmodel, rvars, num_segments=8, window_batch=2,
+                           image_size=SIZE)
+    model = ConstModel()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8, SIZE, SIZE, 3)))
+    engine = InferenceEngine(model, variables, num_segments=8,
+                             window_batch=4, image_size=SIZE)
+    srv = WorkoutServer(engine, host="127.0.0.1", http_port=_free_port(),
+                        ws_port=_free_port(), periodic_engine=peng)
+
+    async def drive():
+        import websockets
+        ws_task = asyncio.create_task(srv.serve_ws())
+        await asyncio.sleep(0.2)
+        try:
+            uri = f"ws://127.0.0.1:{srv.ws_port}/ws/periodic"
+            async with websockets.connect(uri) as ws:
+                await ws.send("mode:count-periodic")
+                # T=8 warmup then hop=4: replies after frames 8 and 12
+                for i in range(12):
+                    await ws.send(_frame_data_url((i * 37) % 255))
+                replies = [json.loads(await asyncio.wait_for(ws.recv(), 60))
+                           for _ in range(2)]
+                for r in replies:
+                    assert r["success"] is True
+                    assert r["mode"] == "count-periodic"
+                    for key in ("count", "fractional", "period_frames",
+                                "strength"):
+                        assert key in r, r
+                await ws.send("stop")
+        finally:
+            ws_task.cancel()
+            try:
+                await ws_task
+            except asyncio.CancelledError:
+                pass
+
+    asyncio.run(drive())

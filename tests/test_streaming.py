@@ -67,3 +67,56 @@ def test_streaming_rep_counter_frames():
 
     sc.reset()
     assert sc.counter.count == 0 and sc.states == []
+
+
+def test_streaming_periodic_counter_mechanics():
+    """StreamingPeriodicCounter accumulates Σ 1/period over the NEWEST
+    hop frames only — overlapping windows never double-count — and
+    reports periods in raw-frame units under rate decimation."""
+    from types import SimpleNamespace
+
+    from workoutdetector_tpu.infer.streaming import StreamingPeriodicCounter
+
+    T, C, wb, S = 16, 8, 4, 24
+
+    def conf_fn(chunk):  # all frames confidently period-4 (class 3)
+        out = np.full((wb, T, C), -10.0, np.float32)
+        out[:, :, 3] = 10.0
+        return out
+
+    eng = SimpleNamespace(num_segments=T, image_size=S, window_batch=wb,
+                          _repnet_fn=conf_fn)
+    c = StreamingPeriodicCounter(eng, scale=S)
+    frames = np.zeros((96, S, S, 3), np.uint8)
+    statuses = [s for s in (c.push(f) for f in frames) if s]
+    # first score at frame 16 counts all T frames, then one per hop=8
+    assert len(statuses) == 1 + (96 - T) // (T // 2)
+    assert abs(c.fractional - 96 / 4) < 1e-6
+    assert statuses[-1]["count"] == 24
+    assert statuses[-1]["period_frames"] == 4
+    assert statuses[-1]["strength"] > 0.99
+
+    # rate decimation halves the frames the model sees; reported period
+    # doubles back into raw-frame units and the count stays consistent
+    c2 = StreamingPeriodicCounter(eng, scale=S, rate=2)
+    st2 = [s for s in (c2.push(f) for f in frames) if s]
+    assert abs(c2.fractional - 48 / 4) < 1e-6
+    assert st2[-1]["period_frames"] == 8
+
+    # aperiodic logits contribute nothing
+    def ap_fn(chunk):
+        out = np.full((wb, T, C), -10.0, np.float32)
+        out[:, :, 0] = 10.0
+        return out
+
+    eng0 = SimpleNamespace(num_segments=T, image_size=S, window_batch=wb,
+                           _repnet_fn=ap_fn)
+    c0 = StreamingPeriodicCounter(eng0, scale=S)
+    st0 = [s for s in (c0.push(f) for f in frames) if s]
+    assert c0.count == 0 and st0[-1]["strength"] < 0.01
+    assert st0[-1]["period_frames"] == 0
+
+    # reset restarts the warmup
+    c.reset()
+    assert c.count == 0 and c.fractional == 0.0
+    assert c.push(frames[0]) is None

@@ -138,6 +138,35 @@ def count_by_motion_periodicity(video_path: str,
                                         min_strength=min_strength)
 
 
+def repnet_frame_logits_fn(engine: InferenceEngine):
+    """The per-frame period-logits program of a RepNet engine, cached on
+    the engine: (window_batch, T, S, S, 3) uint8 → (window_batch, T, C)
+    fp32. Live engines jit model.apply with the sown aux logits; .jaxm
+    artifacts already serialize exactly this graph
+    (utils/export.make_inference_fn repnet branch)."""
+    fn = getattr(engine, "_repnet_fn", None)
+    if fn is not None:
+        return fn
+    if engine.model is None:
+        assert getattr(engine, "meta", {}).get("model_type") == \
+            "repnet", "artifact was not exported from a repnet model"
+        fn = engine._fn
+    else:
+        import jax
+
+        from workoutdetector_tpu.ops.preprocess import normalize_clip
+        model = engine.model
+
+        def frame_logits(x_u8):
+            _, inter = model.apply(engine.variables, normalize_clip(x_u8),
+                                   train=False, mutable=["intermediates"])
+            return inter["intermediates"]["aux_logits"][0]
+
+        fn = jax.jit(frame_logits)
+    engine._repnet_fn = fn
+    return fn
+
+
 def count_by_repnet(engine: InferenceEngine,
                     video_path: str,
                     rates: Sequence[int] = (1, 2, 4, 8),
@@ -172,27 +201,7 @@ def count_by_repnet(engine: InferenceEngine,
                                                    period_of_class)
     t_win = engine.num_segments
     wb = max(engine.window_batch, 1)
-    fn = getattr(engine, "_repnet_fn", None)
-    if fn is None:
-        if engine.model is None:
-            # .jaxm artifact: RepNet exports its per-frame logits graph
-            # directly (utils/export.make_inference_fn)
-            assert getattr(engine, "meta", {}).get("model_type") == \
-                "repnet", "artifact was not exported from a repnet model"
-            fn = engine._fn
-        else:
-            from workoutdetector_tpu.ops.preprocess import normalize_clip
-            model = engine.model
-
-            def frame_logits_fn(x_u8):
-                _, inter = model.apply(engine.variables,
-                                       normalize_clip(x_u8),
-                                       train=False,
-                                       mutable=["intermediates"])
-                return inter["intermediates"]["aux_logits"][0]
-
-            fn = jax.jit(frame_logits_fn)
-        engine._repnet_fn = fn
+    fn = repnet_frame_logits_fn(engine)
     s = engine.image_size
     with VideoReader(video_path) as r:
         if grid:
@@ -375,7 +384,8 @@ def eval_dataset(engine: InferenceEngine,
                  output_dir: Optional[str] = None,
                  csv_name: Optional[str] = None,
                  save_video: bool = False,
-                 threshold: float = 0.0) -> Tuple[float, float]:
+                 threshold: float = 0.0,
+                 grid: bool = False) -> Tuple[float, float]:
     """Per-video counting over a split → helper.eval_count MAE/OBO + CSV.
 
     Matches reference eval_dataset (:424-512). ``threshold`` flows to the
@@ -411,7 +421,8 @@ def eval_dataset(engine: InferenceEngine,
         if model_type == "motion":
             count, _, _ = count_by_motion_periodicity(item.video_path)
         elif model_type == "repnet":
-            count, _, _ = count_by_repnet(engine, item.video_path)
+            count, _, _ = count_by_repnet(engine, item.video_path,
+                                          grid=grid)
         elif model_type == "similarity":
             count, _, _ = count_by_similarity(engine, item.video_path)
         elif model_type == "video":

@@ -96,3 +96,94 @@ class StreamingRepCounter:
         self.counter = OnlineRepCounter(step=self.window)
         self._buf.clear()
         self.states.clear()
+
+
+class StreamingPeriodicCounter:
+    """Frame-in, fractional-count-out online counter for the RepNet
+    period family (models/repnet.py) — counting with NO state-classifier
+    checkpoint, live.
+
+    Keeps a rolling T-frame window (T = engine.num_segments); every
+    ``hop`` new frames it scores the window once (the same compiled
+    per-frame-logits program count_by_repnet uses) and accumulates
+    count += Σ 1/period(t) over the NEWEST ``hop`` frames only, so
+    overlapping windows never double-count a frame. ``rate`` decimates
+    the incoming stream first: the model sees periods of 2..T/2 window
+    frames, so at 30 fps and rate 4 it covers rep durations of ~0.3-4 s
+    with the shipped T=64.
+
+    Device work is one fixed-shape call per hop — padded to the engine's
+    window_batch so live engines and .jaxm artifacts share one program.
+    """
+
+    def __init__(self, engine: InferenceEngine, hop: Optional[int] = None,
+                 scale: int = 256, rate: int = 1,
+                 min_periodicity: float = 0.5):
+        from workoutdetector_tpu.infer.inference_count import \
+            repnet_frame_logits_fn
+        self.engine = engine
+        self.t_win = engine.num_segments
+        self.hop = max(1, hop or self.t_win // 2)
+        assert self.hop <= self.t_win, "hop larger than the window"
+        self.scale = scale
+        self.rate = max(1, rate)
+        self.min_periodicity = min_periodicity
+        self._fn = repnet_frame_logits_fn(engine)
+        self._buf: List[np.ndarray] = []  # rolling prepped window
+        self._pending = 0  # prepped frames since the last scoring
+        self._seen = 0  # raw frames pushed (for rate decimation)
+        self.fractional = 0.0
+        self.count = 0
+        self.period_frames = 0  # latest median period, raw-frame units
+        self.strength = 0.0  # latest window mean periodicity
+
+    def push(self, frame_rgb: np.ndarray) -> Optional[Dict]:
+        """frame_rgb: (H, W, 3) uint8. Returns a status dict each time a
+        window is scored (every hop·rate raw frames once warm), else
+        None."""
+        self._seen += 1
+        if (self._seen - 1) % self.rate:
+            return None
+        s = self.engine.image_size
+        prepped = center_crop(resize_short_side(frame_rgb[None], self.scale),
+                              s)[0]
+        self._buf.append(prepped)
+        if len(self._buf) > self.t_win:
+            self._buf.pop(0)
+        self._pending += 1
+        if len(self._buf) < self.t_win or self._pending < self.hop:
+            return None
+        new = min(self._pending, self.t_win)  # first window counts all T
+        self._pending = 0
+        wb = max(self.engine.window_batch, 1)
+        chunk = np.zeros((wb, self.t_win, s, s, 3), np.uint8)
+        chunk[0] = np.stack(self._buf)
+        fl = np.asarray(self._fn(chunk))[0]  # (T, C)
+        from workoutdetector_tpu.models.repnet import period_of_class
+        p = np.exp(fl - fl.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        periodic = 1.0 - p[:, 0]
+        period_t = period_of_class(np.argmax(p[:, 1:], axis=-1) + 1)
+        contrib = np.where(periodic >= self.min_periodicity,
+                           1.0 / period_t, 0.0)
+        self.fractional += float(contrib[-new:].sum())
+        self.count = int(round(self.fractional))
+        mask = periodic >= self.min_periodicity
+        self.period_frames = int(np.median(period_t[mask])) * self.rate \
+            if mask.any() else 0
+        self.strength = float(periodic.mean())
+        return {
+            "count": self.count,
+            "fractional": round(self.fractional, 2),
+            "period_frames": self.period_frames,
+            "strength": round(self.strength, 3),
+        }
+
+    def reset(self) -> None:
+        self._buf.clear()
+        self._pending = 0
+        self._seen = 0
+        self.fractional = 0.0
+        self.count = 0
+        self.period_frames = 0
+        self.strength = 0.0

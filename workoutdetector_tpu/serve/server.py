@@ -93,11 +93,16 @@ class WorkoutServer:
                  http_port: int = 8000,
                  ws_port: Optional[int] = None,
                  batch_delay_ms: float = 10.0,
-                 count_engine: Optional[InferenceEngine] = None):
+                 count_engine: Optional[InferenceEngine] = None,
+                 periodic_engine: Optional[InferenceEngine] = None):
         self.engine = engine
         # engine for the live rep-counting mode (binary state classifier);
         # defaults to the main engine
         self.count_engine = count_engine or engine
+        # OPTIONAL RepNet engine for 'mode:count-periodic' — live counting
+        # with no state-classifier checkpoint (infer/streaming.py
+        # StreamingPeriodicCounter); the mode errors cleanly when unset
+        self.periodic_engine = periodic_engine
         self.labels = labels if labels is not None else list(WORKOUT_LABELS)
         self.host = host
         self.http_port = http_port
@@ -148,14 +153,20 @@ class WorkoutServer:
         - 'count': live rep counting (send 'mode:count' to switch) — every
           8 frames → running count + state, via the online counter the
           reference lacks (its counter is batch-only).
+        - 'count-periodic': live checkpoint-free counting via the RepNet
+          period family (requires a ``periodic_engine``; see
+          infer/streaming.StreamingPeriodicCounter) — a status message
+          per scored window hop.
         """
         from websockets.exceptions import ConnectionClosed
 
-        from workoutdetector_tpu.infer.streaming import OnlineRepCounter
+        from workoutdetector_tpu.infer.streaming import (
+            OnlineRepCounter, StreamingPeriodicCounter)
 
         frame_queue: List[np.ndarray] = []
         mode = "recognize"
         counter: Optional[OnlineRepCounter] = None
+        pcounter: Optional[StreamingPeriodicCounter] = None
         try:
             async for message in websocket:
                 if message == "stop":
@@ -164,6 +175,16 @@ class WorkoutServer:
                     mode = message.split(":", 1)[1]
                     if mode == "count":
                         counter = OnlineRepCounter(step=SAMPLE_LENGTH)
+                    elif mode == "count-periodic":
+                        if self.periodic_engine is None:
+                            mode = "recognize"
+                            await websocket.send(json.dumps({
+                                "success": False,
+                                "msg": "count-periodic unavailable: server "
+                                       "started without a repnet engine"}))
+                        else:
+                            pcounter = StreamingPeriodicCounter(
+                                self.periodic_engine)
                     frame_queue.clear()
                     continue
                 loop = asyncio.get_running_loop()
@@ -171,6 +192,17 @@ class WorkoutServer:
                     self._prep_pool, decode_data_url, message) \
                     if isinstance(message, str) else None
                 if frame is None:
+                    continue
+                if mode == "count-periodic" and pcounter is not None:
+                    # push() preps the frame and runs the device call —
+                    # keep it off the event loop. Per-connection counters
+                    # share ONE compiled program (cached on the engine).
+                    status = await loop.run_in_executor(
+                        self._prep_pool, pcounter.push, frame)
+                    if status is not None:
+                        await websocket.send(json.dumps(
+                            {"success": True, "mode": "count-periodic",
+                             **status}))
                     continue
                 if mode == "count" and counter is not None:
                     frame_queue.append(frame)
@@ -354,6 +386,9 @@ def main() -> None:
     parser.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--num-class", type=int, default=11)
+    parser.add_argument("--repnet-checkpoint", default=None,
+                        help="repnet .jaxm artifact enabling the live "
+                             "'mode:count-periodic' WS mode")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument("opts", nargs="*", help="dotted config overrides")
     args = parser.parse_args()
@@ -362,6 +397,12 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     cfg = load_config(args.cfg, args.opts)
     cfg.model.num_class = args.num_class
+    periodic_engine = None
+    if args.repnet_checkpoint:
+        periodic_engine = InferenceEngine.from_exported(
+            args.repnet_checkpoint)
+        assert periodic_engine.meta.get("model_type") == "repnet", \
+            "--repnet-checkpoint must be a repnet .jaxm artifact"
     if args.checkpoint and args.checkpoint.endswith(".jaxm"):
         # deployed artifact: weights + fused preprocessing baked in —
         # the reference's serve-from-.onnx path (app/inference.py:51)
@@ -372,7 +413,8 @@ def main() -> None:
                 "scores — count with `serve.demo --task count-repnet` "
                 "instead of the classification server")
         WorkoutServer(engine, labels=engine.labels,
-                      http_port=args.port).run()
+                      http_port=args.port,
+                      periodic_engine=periodic_engine).run()
         return
     model = build_model(cfg.model)
     variables = model.init({"params": jax.random.PRNGKey(0)},
@@ -388,7 +430,8 @@ def main() -> None:
     engine = InferenceEngine(model, variables,
                              num_segments=cfg.model.num_segments,
                              window_batch=16)
-    WorkoutServer(engine, http_port=args.port).run()
+    WorkoutServer(engine, http_port=args.port,
+                  periodic_engine=periodic_engine).run()
 
 
 if __name__ == "__main__":
