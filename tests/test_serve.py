@@ -137,6 +137,10 @@ def test_static_index(server):
             f"http://127.0.0.1:{server.http_port}/", timeout=10) as resp:
         html = resp.read().decode()
     assert "Workout Detector" in html
+    # all three live modes are reachable from the page
+    for el in ("id=\"stream\"", "id=\"countBtn\"", "id=\"periodicBtn\"",
+               "mode:"):
+        assert el in html, el
 
 
 def test_static_no_path_traversal(server):
