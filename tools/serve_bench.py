@@ -13,6 +13,12 @@ and batcher coalescing stats.
 Usage:
   python tools/serve_bench.py [--clients 8] [--windows 6] [--cpu]
                               [--base-model resnet50] [--image-size 224]
+                              [--mode recognize|periodic]
+
+--mode periodic load-tests the checkpoint-free live counter instead
+('mode:count-periodic', infer/streaming.StreamingPeriodicCounter over a
+RepNet-small engine): each client streams frames and a status reply
+arrives per window hop; latency is measured hop-send → status.
 
 On the tunneled dev chip the per-window latency includes the ~50 ms
 fetch round-trip per batch; throughput is therefore a LOWER bound on a
@@ -57,6 +63,8 @@ def main() -> None:
     p.add_argument("--base-model", default="resnet50")
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--batch-delay-ms", type=float, default=10.0)
+    p.add_argument("--mode", choices=["recognize", "periodic"],
+                   default="recognize")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -81,13 +89,34 @@ def main() -> None:
     engine = InferenceEngine(model, variables, num_segments=8,
                              window_batch=max(args.clients, 4),
                              image_size=args.image_size)
-    # pay the compile before measuring
-    engine.score_windows(np.zeros(
-        (1, 8, args.image_size, args.image_size, 3), np.uint8))
+    if args.mode == "recognize":
+        # pay the compile before measuring (periodic mode never scores
+        # the recognition engine — it compiles lazily, i.e. never)
+        engine.score_windows(np.zeros(
+            (1, 8, args.image_size, args.image_size, 3), np.uint8))
+
+    periodic_engine = None
+    t_win = 16
+    if args.mode == "periodic":
+        from workoutdetector_tpu.models.repnet import (REPNET_VARIANTS,
+                                                       RepNet)
+        width, embed, mdim, heads = REPNET_VARIANTS["small"]
+        rmodel = RepNet(num_segments=t_win, width=width, embed_dim=embed,
+                        model_dim=mdim, num_heads=heads, dropout=0.0,
+                        dtype=jnp.float32 if args.cpu else jnp.bfloat16)
+        rvars = rmodel.init(
+            {"params": rng},
+            jnp.zeros((1, t_win, args.image_size, args.image_size, 3),
+                      jnp.float32), train=False)
+        periodic_engine = InferenceEngine(
+            rmodel, rvars, num_segments=t_win,
+            window_batch=max(args.clients, 4),
+            image_size=args.image_size)
 
     srv = WorkoutServer(engine, host="127.0.0.1", http_port=_free_port(),
                         ws_port=_free_port(),
-                        batch_delay_ms=args.batch_delay_ms)
+                        batch_delay_ms=args.batch_delay_ms,
+                        periodic_engine=periodic_engine)
 
     frames = [_frame_data_url(np.random.default_rng(c), args.image_size)
               for c in range(args.clients)]
@@ -106,6 +135,28 @@ def main() -> None:
                 lat.append(time.perf_counter() - t0)
             await ws.send("stop")
         return lat
+
+    async def one_client_periodic(cid):
+        import websockets
+        uri = f"ws://127.0.0.1:{srv.ws_port}/ws/bench{cid}"
+        lat, hop = [], t_win // 2
+        async with websockets.connect(uri, max_size=None) as ws:
+            await ws.send("mode:count-periodic")
+            for _ in range(t_win):  # warmup: fill the rolling window
+                await ws.send(frames[cid])
+            await asyncio.wait_for(ws.recv(), 120)
+            for _ in range(args.windows):
+                t0 = time.perf_counter()
+                for _ in range(hop):
+                    await ws.send(frames[cid])
+                reply = json.loads(await asyncio.wait_for(ws.recv(), 120))
+                assert reply.get("success"), reply
+                lat.append(time.perf_counter() - t0)
+            await ws.send("stop")
+        return lat
+
+    if args.mode == "periodic":
+        one_client = one_client_periodic
 
     async def drive():
         ws_task = asyncio.create_task(srv.serve_ws())
@@ -129,16 +180,20 @@ def main() -> None:
     flat = sorted(l for ls in all_lat for l in ls)
     n_windows = len(flat)
     assert n_windows == args.clients * args.windows, "dropped replies"
-    print(json.dumps({
-        "metric": "serving_ws_throughput",
+    frames_per_reply = 8 if args.mode == "recognize" else t_win // 2
+    out = {
+        "metric": "serving_ws_throughput" if args.mode == "recognize"
+                  else "serving_ws_periodic_throughput",
         "clients": args.clients,
         "windows_per_sec": round(n_windows / dt, 2),
-        "frames_per_sec": round(8 * n_windows / dt, 1),
+        "frames_per_sec": round(frames_per_reply * n_windows / dt, 1),
         "latency_p50_ms": round(1e3 * flat[len(flat) // 2], 1),
         "latency_p95_ms": round(1e3 * flat[int(0.95 * (len(flat) - 1))], 1),
-        "batch_coalescing": round(n_req / max(n_flush, 1), 2),
         "backend": "cpu" if args.cpu else "tpu",
-    }))
+    }
+    if args.mode == "recognize":
+        out["batch_coalescing"] = round(n_req / max(n_flush, 1), 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

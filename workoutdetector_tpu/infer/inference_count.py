@@ -167,6 +167,31 @@ def repnet_frame_logits_fn(engine: InferenceEngine):
     return fn
 
 
+def repnet_frame_logits_batch(engine: InferenceEngine):
+    """Batched host-side wrapper over repnet_frame_logits_fn: any-N
+    (N, T, S, S, 3) uint8 → (N, T, C), padding each device call to the
+    engine's window_batch so every call reuses ONE compiled program.
+    This is the score_fn shape the serving AsyncBatcher expects."""
+    import jax.numpy as jnp
+
+    fn = repnet_frame_logits_fn(engine)
+    wb = max(engine.window_batch, 1)
+
+    def batched(windows: np.ndarray) -> np.ndarray:
+        outs = []
+        for i in range(0, len(windows), wb):
+            chunk = windows[i:i + wb]
+            n = len(chunk)
+            if n < wb:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((wb - n, *chunk.shape[1:]),
+                                     chunk.dtype)])
+            outs.append(np.asarray(fn(jnp.asarray(chunk)))[:n])
+        return np.concatenate(outs)
+
+    return batched
+
+
 def count_by_repnet(engine: InferenceEngine,
                     video_path: str,
                     rates: Sequence[int] = (1, 2, 4, 8),
@@ -194,14 +219,10 @@ def count_by_repnet(engine: InferenceEngine,
         frames (median over periodic frames), strength = mean periodic
         probability at the winning rate/view.
     """
-    import jax
-    import jax.numpy as jnp
-
     from workoutdetector_tpu.models.repnet import (count_from_frame_logits,
                                                    period_of_class)
     t_win = engine.num_segments
-    wb = max(engine.window_batch, 1)
-    fn = repnet_frame_logits_fn(engine)
+    score_windows = repnet_frame_logits_batch(engine)
     s = engine.image_size
     with VideoReader(video_path) as r:
         if grid:
@@ -223,15 +244,7 @@ def count_by_repnet(engine: InferenceEngine,
             xs = np.concatenate([xs, np.repeat(xs[-1:], pad, axis=0)])
         wins = xs.reshape(n_win, t_win, *xs.shape[1:])
         valid = valid.reshape(n_win, t_win)
-        logits = []
-        for i in range(0, n_win, wb):
-            chunk = wins[i:i + wb]
-            if len(chunk) < wb:  # keep ONE compiled shape
-                chunk = np.concatenate(
-                    [chunk, np.zeros((wb - len(chunk), *chunk.shape[1:]),
-                                     chunk.dtype)])
-            logits.append(np.asarray(fn(jnp.asarray(chunk))))
-        fl = np.concatenate(logits)[:n_win]  # (n_win, T, C)
+        fl = score_windows(wins)  # (n_win, T, C)
         count, strength = count_from_frame_logits(fl, valid,
                                                   min_periodicity)
         if strength > best_strength:

@@ -132,15 +132,19 @@ class StreamingPeriodicCounter:
         self._buf: List[np.ndarray] = []  # rolling prepped window
         self._pending = 0  # prepped frames since the last scoring
         self._seen = 0  # raw frames pushed (for rate decimation)
+        self._new = 0  # frames the next ingest() may count
         self.fractional = 0.0
         self.count = 0
         self.period_frames = 0  # latest median period, raw-frame units
         self.strength = 0.0  # latest window mean periodicity
 
-    def push(self, frame_rgb: np.ndarray) -> Optional[Dict]:
-        """frame_rgb: (H, W, 3) uint8. Returns a status dict each time a
-        window is scored (every hop·rate raw frames once warm), else
-        None."""
+    def prepare(self, frame_rgb: np.ndarray) -> Optional[np.ndarray]:
+        """Prep + buffer one (H, W, 3) uint8 frame. Returns the
+        (T, S, S, 3) window to score when a scoring is due (every
+        hop·rate raw frames once warm), else None. Pair each returned
+        window with exactly one ingest() of its frame logits — the split
+        lets a server batch windows from many connections into one
+        device call (serve/server.py periodic batcher)."""
         self._seen += 1
         if (self._seen - 1) % self.rate:
             return None
@@ -153,20 +157,22 @@ class StreamingPeriodicCounter:
         self._pending += 1
         if len(self._buf) < self.t_win or self._pending < self.hop:
             return None
-        new = min(self._pending, self.t_win)  # first window counts all T
+        self._new = min(self._pending, self.t_win)  # 1st window counts all T
         self._pending = 0
-        wb = max(self.engine.window_batch, 1)
-        chunk = np.zeros((wb, self.t_win, s, s, 3), np.uint8)
-        chunk[0] = np.stack(self._buf)
-        fl = np.asarray(self._fn(chunk))[0]  # (T, C)
+        return np.stack(self._buf)
+
+    def ingest(self, frame_logits: np.ndarray) -> Dict:
+        """Apply one prepared window's (T, C) frame logits to the
+        running count and return the status dict."""
         from workoutdetector_tpu.models.repnet import period_of_class
+        fl = np.asarray(frame_logits, np.float32)
         p = np.exp(fl - fl.max(-1, keepdims=True))
         p /= p.sum(-1, keepdims=True)
         periodic = 1.0 - p[:, 0]
         period_t = period_of_class(np.argmax(p[:, 1:], axis=-1) + 1)
         contrib = np.where(periodic >= self.min_periodicity,
                            1.0 / period_t, 0.0)
-        self.fractional += float(contrib[-new:].sum())
+        self.fractional += float(contrib[-self._new:].sum())
         self.count = int(round(self.fractional))
         mask = periodic >= self.min_periodicity
         self.period_frames = int(np.median(period_t[mask])) * self.rate \
@@ -179,10 +185,24 @@ class StreamingPeriodicCounter:
             "strength": round(self.strength, 3),
         }
 
+    def push(self, frame_rgb: np.ndarray) -> Optional[Dict]:
+        """Direct path (demo/CLI/tests): prepare + one padded device
+        call + ingest. Returns a status dict per scored window, else
+        None."""
+        window = self.prepare(frame_rgb)
+        if window is None:
+            return None
+        wb = max(self.engine.window_batch, 1)
+        s = self.engine.image_size
+        chunk = np.zeros((wb, self.t_win, s, s, 3), np.uint8)
+        chunk[0] = window
+        return self.ingest(np.asarray(self._fn(chunk))[0])
+
     def reset(self) -> None:
         self._buf.clear()
         self._pending = 0
         self._seen = 0
+        self._new = 0
         self.fractional = 0.0
         self.count = 0
         self.period_frames = 0

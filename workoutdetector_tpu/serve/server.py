@@ -101,8 +101,20 @@ class WorkoutServer:
         self.count_engine = count_engine or engine
         # OPTIONAL RepNet engine for 'mode:count-periodic' — live counting
         # with no state-classifier checkpoint (infer/streaming.py
-        # StreamingPeriodicCounter); the mode errors cleanly when unset
+        # StreamingPeriodicCounter); the mode errors cleanly when unset.
+        # Windows from ALL periodic connections coalesce through one
+        # batcher: per-connection device calls serialize through the
+        # dispatch path (measured p95 3.7 s for 8 clients on the dev
+        # tunnel; batched: see docs/PERF.md serving section)
         self.periodic_engine = periodic_engine
+        self.periodic_batcher = None
+        if periodic_engine is not None:
+            from workoutdetector_tpu.infer.inference_count import \
+                repnet_frame_logits_batch
+            self.periodic_batcher = AsyncBatcher(
+                repnet_frame_logits_batch(periodic_engine),
+                max_batch=max(periodic_engine.window_batch, 8),
+                max_delay_ms=batch_delay_ms)
         self.labels = labels if labels is not None else list(WORKOUT_LABELS)
         self.host = host
         self.http_port = http_port
@@ -194,12 +206,13 @@ class WorkoutServer:
                 if frame is None:
                     continue
                 if mode == "count-periodic" and pcounter is not None:
-                    # push() preps the frame and runs the device call —
-                    # keep it off the event loop. Per-connection counters
-                    # share ONE compiled program (cached on the engine).
-                    status = await loop.run_in_executor(
-                        self._prep_pool, pcounter.push, frame)
-                    if status is not None:
+                    # prep off the event loop; due windows from ALL
+                    # periodic connections coalesce into one device call
+                    window = await loop.run_in_executor(
+                        self._prep_pool, pcounter.prepare, frame)
+                    if window is not None:
+                        fl = await self.periodic_batcher.score(window)
+                        status = pcounter.ingest(fl)
                         await websocket.send(json.dumps(
                             {"success": True, "mode": "count-periodic",
                              **status}))
