@@ -16,6 +16,21 @@ def test_pyproject_entry_points_resolve():
         assert callable(getattr(importlib.import_module(mod), fn))
 
 
+def test_deploy_scripts_syntax_and_image_recipe():
+    """Deployment recipes (reference docker/{run,start}.sh parity,
+    TPU-VM re-target): shell syntax must hold and the Dockerfile must
+    install the TPU jax wheel + the package + the native decoder."""
+    import subprocess
+    deploy = osp.join(REPO, "deploy")
+    for sh in ("run.sh", "start.sh", "serve.sh"):
+        subprocess.run(["bash", "-n", osp.join(deploy, sh)], check=True)
+    with open(osp.join(deploy, "Dockerfile")) as f:
+        df = f.read()
+    for needle in ("jax[tpu]", "libavformat-dev", "make -C native",
+                   "workoutdetector_tpu.serve.server"):
+        assert needle in df, needle
+
+
 def test_codec_probe_reports_working_mp4v():
     from workoutdetector_tpu.scripts.video_codecs import probe
     report = probe()
