@@ -138,24 +138,30 @@ class InferenceEngine:
         return sharded_run
 
     # ---------------- core batched call ---------------- #
+    def chunked_call(self, fn, arr: np.ndarray) -> np.ndarray:
+        """Run a fixed-batch compiled ``fn`` over any-N leading-dim input,
+        zero-padding the tail chunk to window_batch so ONE compiled
+        program serves every call. Shared by class scoring and the
+        RepNet frame-logits path (infer.inference_count)."""
+        wb = self.window_batch
+        outs: List[np.ndarray] = []
+        for i in range(0, arr.shape[0], wb):
+            chunk = arr[i:i + wb]
+            pad = wb - chunk.shape[0]
+            if pad > 0:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            out = fn(jnp.asarray(chunk))
+            outs.append(np.asarray(out)[:wb - pad])
+        return np.concatenate(outs) if outs else np.zeros((0,), np.float32)
+
     def score_windows(self, windows_u8: np.ndarray) -> np.ndarray:
         """Score N windows (N, T, H, W, C) uint8 → (N, num_class) logits.
 
         N is chunked/padded to window_batch so the compiled program is
         reused for every call.
         """
-        n = windows_u8.shape[0]
-        wb = self.window_batch
-        outs: List[np.ndarray] = []
-        for i in range(0, n, wb):
-            chunk = windows_u8[i:i + wb]
-            pad = wb - chunk.shape[0]
-            if pad > 0:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-            logits = self._fn(jnp.asarray(chunk))
-            outs.append(np.asarray(logits[:chunk.shape[0] - pad if pad else wb]))
-        return np.concatenate(outs) if outs else np.zeros((0,), np.float32)
+        return self.chunked_call(self._fn, windows_u8)
 
     def score_images(self, images_u8: np.ndarray) -> np.ndarray:
         """Image-model path: (N, H, W, C) uint8 → (N, num_class) logits."""

@@ -169,27 +169,12 @@ def repnet_frame_logits_fn(engine: InferenceEngine):
 
 def repnet_frame_logits_batch(engine: InferenceEngine):
     """Batched host-side wrapper over repnet_frame_logits_fn: any-N
-    (N, T, S, S, 3) uint8 → (N, T, C), padding each device call to the
-    engine's window_batch so every call reuses ONE compiled program.
-    This is the score_fn shape the serving AsyncBatcher expects."""
-    import jax.numpy as jnp
-
+    (N, T, S, S, 3) uint8 → (N, T, C), via the engine's shared
+    chunk/pad loop (engine.chunked_call) so every device call reuses
+    ONE compiled program. This is the score_fn shape the serving
+    AsyncBatcher expects."""
     fn = repnet_frame_logits_fn(engine)
-    wb = max(engine.window_batch, 1)
-
-    def batched(windows: np.ndarray) -> np.ndarray:
-        outs = []
-        for i in range(0, len(windows), wb):
-            chunk = windows[i:i + wb]
-            n = len(chunk)
-            if n < wb:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((wb - n, *chunk.shape[1:]),
-                                     chunk.dtype)])
-            outs.append(np.asarray(fn(jnp.asarray(chunk)))[:n])
-        return np.concatenate(outs)
-
-    return batched
+    return lambda windows: engine.chunked_call(fn, windows)
 
 
 def count_by_repnet(engine: InferenceEngine,

@@ -117,7 +117,7 @@ class StreamingPeriodicCounter:
     """
 
     def __init__(self, engine: InferenceEngine, hop: Optional[int] = None,
-                 scale: int = 256, rate: int = 1,
+                 scale: Optional[int] = None, rate: int = 1,
                  min_periodicity: float = 0.5):
         from workoutdetector_tpu.infer.inference_count import \
             repnet_frame_logits_fn
@@ -125,7 +125,11 @@ class StreamingPeriodicCounter:
         self.t_win = engine.num_segments
         self.hop = max(1, hop or self.t_win // 2)
         assert self.hop <= self.t_win, "hop larger than the window"
-        self.scale = scale
+        # default matches the offline counter's prep (count_by_repnet:
+        # read_prepped(S*256/224, S) ≈ the whole frame). A fixed 256
+        # against the shipped 64-px family would crop the central ~6% of
+        # the frame area — live counts collapse while offline works.
+        self.scale = scale or round(engine.image_size * 256 / 224)
         self.rate = max(1, rate)
         self.min_periodicity = min_periodicity
         self._fn = repnet_frame_logits_fn(engine)

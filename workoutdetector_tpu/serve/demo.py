@@ -123,55 +123,48 @@ def main() -> None:
         return
     if args.task == "recognize":
         cfg.model.num_class = len(WORKOUT_LABELS)
+    def build_engine(image_size=None, window_batch=None):
+        """One engine-loading path for every task: .jaxm artifact or
+        fresh init + optional orbax restore (was duplicated per task)."""
+        if args.checkpoint and args.checkpoint.endswith(".jaxm"):
+            # deployed artifact: weights + preprocessing (and, for
+            # repnet, the per-frame logits graph) baked in
+            return InferenceEngine.from_exported(args.checkpoint)
+        model = build_model(cfg.model)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)},
+            example_input(cfg.model,
+                          image_size=image_size or cfg.data.image_size),
+            train=False)
+        if args.checkpoint:
+            from workoutdetector_tpu.train.checkpoint import \
+                CheckpointManager
+            mgr = CheckpointManager(os.path.dirname(args.checkpoint) or ".")
+            restored = mgr.restore_variables(args.checkpoint)
+            variables = {"params": restored["params"],
+                         "batch_stats": restored.get(
+                             "batch_stats",
+                             variables.get("batch_stats", {}))}
+        kwargs = {}
+        if image_size is not None:
+            kwargs["image_size"] = image_size
+        if window_batch is not None:
+            kwargs["window_batch"] = window_batch
+        return InferenceEngine(model, variables,
+                               num_segments=cfg.model.num_segments,
+                               **kwargs)
+
     if args.task == "count-repnet":
         cfg.model.model_type = "repnet"
         from workoutdetector_tpu.infer import count_by_repnet
-        if args.checkpoint and args.checkpoint.endswith(".jaxm"):
-            # deployed artifact: bakes the per-frame logits graph
-            # (utils/export.make_inference_fn repnet branch)
-            engine = InferenceEngine.from_exported(args.checkpoint)
-        else:
-            model = build_model(cfg.model)
-            variables = model.init({"params": jax.random.PRNGKey(0)},
-                                   example_input(
-                                       cfg.model,
-                                       image_size=cfg.data.image_size),
-                                   train=False)
-            if args.checkpoint:
-                from workoutdetector_tpu.train.checkpoint import \
-                    CheckpointManager
-                mgr = CheckpointManager(
-                    os.path.dirname(args.checkpoint) or ".")
-                restored = mgr.restore_variables(args.checkpoint)
-                variables = {"params": restored["params"],
-                             "batch_stats": restored.get(
-                                 "batch_stats",
-                                 variables.get("batch_stats", {}))}
-            engine = InferenceEngine(model, variables,
-                                     num_segments=cfg.model.num_segments,
-                                     image_size=cfg.data.image_size,
-                                     window_batch=4)
+        engine = build_engine(image_size=cfg.data.image_size,
+                              window_batch=4)
         count, period, strength = count_by_repnet(engine, args.video,
                                                   grid=args.grid)
         print(json.dumps({"count": count, "period_frames": period,
                           "strength": round(float(strength), 4)}))
         return
-    if args.checkpoint and args.checkpoint.endswith(".jaxm"):
-        engine = InferenceEngine.from_exported(args.checkpoint)
-    else:
-        model = build_model(cfg.model)
-        variables = model.init({"params": jax.random.PRNGKey(0)},
-                               example_input(cfg.model), train=False)
-        if args.checkpoint:
-            import os as _os
-            from workoutdetector_tpu.train.checkpoint import CheckpointManager
-            mgr = CheckpointManager(_os.path.dirname(args.checkpoint) or ".")
-            restored = mgr.restore_variables(args.checkpoint)
-            variables = {"params": restored["params"],
-                         "batch_stats": restored.get(
-                             "batch_stats", variables.get("batch_stats", {}))}
-        engine = InferenceEngine(model, variables,
-                                 num_segments=cfg.model.num_segments)
+    engine = build_engine()
     if args.task == "count":
         count, reps = inference_video_reps(engine, args.video, args.output)
         print(json.dumps({"count": count, "reps": reps}))
