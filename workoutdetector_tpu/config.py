@@ -228,6 +228,13 @@ class ModelConfig(ConfigNode):
     # attention, frames (T) during spatial attention; GSPMD inserts the
     # all-to-alls at the layout alternation. No reference analog (DP-only).
     seq_parallel: bool = False
+    # Mixture-of-Experts MLPs (TimeSformer divided blocks; models/moe.py).
+    # >0 replaces each block MLP with a top-1-routed MoE of this many
+    # experts; expert stacks shard over the mesh 'model' axis (expert
+    # parallelism). 0 = dense (reference behavior — it has no MoE).
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01  # Switch load-balance loss weight
     # TPU specifics
     dtype: str = "bfloat16"  # compute dtype; params stay fp32
     shift_impl: str = "xla"  # xla | pallas
@@ -327,6 +334,11 @@ class ParallelConfig(ConfigNode):
     data_axis: int = -1  # -1 = all remaining devices
     model_axis: int = 1
     axis_names: List[str] = field(default_factory=lambda: ["data", "model"])
+    # ZeRO-3/FSDP: partition params + optimizer state over the data axis
+    # too (each DP rank holds 1/data of every eligible leaf); GSPMD inserts
+    # the per-use all-gather and grad reduce-scatter. Composes with
+    # model_axis tensor sharding. See parallel/mesh.param_spec.
+    fsdp: bool = False
 
 
 @dataclass

@@ -50,7 +50,7 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def param_spec(shape: Sequence[int], mesh: Mesh, axis: str = "model",
-               min_per_shard: int = 8) -> P:
+               min_per_shard: int = 8, fsdp_axis: Optional[str] = None) -> P:
     """Shape-based PartitionSpec for a parameter (or optimizer-momentum) leaf.
 
     Makes the ``model`` axis real (not just reserved): large conv kernels
@@ -60,27 +60,56 @@ def param_spec(shape: Sequence[int], mesh: Mesh, axis: str = "model",
     on ICI. Leaves too small (or not divisible) stay replicated — BN
     scale/bias, heads with tiny class counts, scalars.
 
+    ``fsdp_axis`` (normally ``'data'``) additionally shards eligible leaves
+    over that axis on a DIFFERENT dim — ZeRO-3/FSDP semantics: each
+    data-parallel rank holds 1/data of the params and optimizer state, and
+    GSPMD inserts the per-use all-gather and the grad reduce-scatter. It
+    composes with the tensor sharding: on a (4, 2) mesh a 3×3×256×512
+    kernel holds 1/8 of its elements per device.
+
     Shape-based (not name-based) so the same rule covers params, optax
     momentum buffers, and batch_stats without pytree-path plumbing.
     """
     n = mesh.shape.get(axis, 1)
-    if n <= 1:
+    nf = mesh.shape.get(fsdp_axis, 1) if fsdp_axis else 1
+    entries = [None] * len(shape)
+    if len(shape) == 4:  # conv HWIO → 'model' shards O, fsdp shards I
+        if n > 1 and shape[3] % n == 0 and shape[3] // n >= min_per_shard:
+            entries[3] = axis
+        if nf > 1 and shape[2] % nf == 0 and shape[2] // nf >= min_per_shard:
+            entries[2] = fsdp_axis
+    elif len(shape) == 3:  # stacked expert kernels (E, in, out) → expert
+        # parallelism: 'model' shards the leading (expert) dim so each
+        # device holds E/model experts (models/moe.py); fsdp shards 'in'
+        if n > 1 and shape[0] % n == 0 and \
+                int(np.prod(shape)) // n >= min_per_shard:
+            entries[0] = axis
+        if nf > 1 and shape[1] % nf == 0 and shape[1] // nf >= min_per_shard:
+            entries[1] = fsdp_axis
+    elif len(shape) == 2:  # dense (in, out) → 'model' shards in, fsdp out
+        if n > 1 and shape[0] % n == 0 and shape[0] // n >= min_per_shard:
+            entries[0] = axis
+        if nf > 1 and shape[1] % nf == 0 and shape[1] // nf >= min_per_shard:
+            entries[1] = fsdp_axis
+    elif len(shape) == 1:  # BN scale/bias, biases → fsdp shards the vector
+        if nf > 1 and shape[0] % nf == 0 and shape[0] // nf >= min_per_shard:
+            entries[0] = fsdp_axis
+    if all(e is None for e in entries):  # P() canonical form when unsharded
         return P()
-    if len(shape) == 4:  # conv HWIO → shard O (output channels)
-        if shape[3] % n == 0 and shape[3] // n >= min_per_shard:
-            return P(None, None, None, axis)
-    elif len(shape) == 2:  # dense (in, out) → shard the big input dim
-        if shape[0] % n == 0 and shape[0] // n >= min_per_shard:
-            return P(axis, None)
-    return P()
+    return P(*entries)
 
 
-def state_sharding(state: Any, mesh: Mesh) -> Any:
+def state_sharding(state: Any, mesh: Mesh, fsdp: bool = False) -> Any:
     """Pytree of NamedShardings for a TrainState (params + batch_stats +
-    opt_state), applying :func:`param_spec` per leaf."""
+    opt_state), applying :func:`param_spec` per leaf. ``fsdp=True``
+    additionally partitions eligible leaves over the ``data`` axis
+    (ZeRO-3 semantics — see :func:`param_spec`)."""
+    fsdp_axis = "data" if fsdp else None
+
     def rule(x):
         shape = getattr(x, "shape", ())
-        return NamedSharding(mesh, param_spec(shape, mesh))
+        return NamedSharding(mesh, param_spec(shape, mesh,
+                                              fsdp_axis=fsdp_axis))
 
     return jax.tree_util.tree_map(rule, state)
 

@@ -4,8 +4,9 @@ Capability match of the reference trainer (workoutdetector/trainer.py:25-330
 LitModel/DataModule/train/test) re-architected for JAX:
 
   * ONE jitted train step over a (data, model) Mesh: the global uint8 batch
-    is sharded on the data axis (NamedSharding), params are replicated, and
-    XLA inserts the gradient all-reduce over ICI — the declarative
+    is sharded on the data axis (NamedSharding), large params partition over
+    the 'model' axis (and over 'data' too under cfg.parallel.fsdp — ZeRO-3),
+    and XLA inserts the gradient all-reduce over ICI — the declarative
     equivalent of DDP + gloo (SURVEY §2.8).
   * metrics (loss/acc) are computed on the global batch inside the same
     program — the psum replaces the reference's cross-rank
@@ -56,6 +57,20 @@ class TrainState(struct.PyTreeNode):
 
 def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
+def collect_sown(tree: Any, name: str) -> list:
+    """All values sown under ``name`` anywhere in an intermediates tree
+    (sows from submodules land under their module-scope path, e.g.
+    block_0/mlp/moe_loss — a top-level lookup misses them)."""
+    vals: list = []
+    if isinstance(tree, (dict, FrozenDict)):
+        for k, v in tree.items():
+            if k == name:
+                vals.extend(v if isinstance(v, (tuple, list)) else [v])
+            else:
+                vals.extend(collect_sown(v, name))
+    return vals
 
 
 class Trainer:
@@ -111,7 +126,8 @@ class Trainer:
                            opt_state=self.tx.init(params))
         # Lay the state out over the mesh: big kernels (and their optimizer
         # momentum) partition over the 'model' axis, small leaves replicate.
-        self._state_sharding = state_sharding(state, self.mesh)
+        self._state_sharding = state_sharding(state, self.mesh,
+                                              fsdp=self.cfg.parallel.fsdp)
         return jax.device_put(state, self._state_sharding)
 
     # ------------------------------------------------------------------ #
@@ -122,6 +138,7 @@ class Trainer:
         base_key = jax.random.PRNGKey(self.cfg.seed + 1)
 
         aux_w = self.cfg.model.aux_loss_weight
+        moe_w = self.cfg.model.moe_aux_weight
 
         def train_step(state: TrainState, x_u8: jnp.ndarray, y: jnp.ndarray):
             x = normalize_clip(x_u8)
@@ -147,6 +164,11 @@ class Trainer:
                         ya = jnp.repeat(y, aux.shape[1])
                         aux = aux.reshape(-1, aux.shape[-1])
                     loss = loss + aux_w * cross_entropy_loss(aux, ya)
+                # MoE load-balance loss (models/moe.py Switch aux): sown
+                # per block under its module scope, mean over all sows
+                moe = collect_sown(inter, "moe_loss")
+                if moe:
+                    loss = loss + moe_w * (sum(moe) / len(moe))
                 return loss, (out, updates.get("batch_stats", state.batch_stats))
 
             (loss, (logits, new_stats)), grads = jax.value_and_grad(
