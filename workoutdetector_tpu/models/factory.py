@@ -108,6 +108,8 @@ def build_model(cfg: ModelConfig) -> nn.Module:
                            attention_type=cfg.attention_type,
                            dropout=cfg.dropout,
                            drop_path_rate=cfg.drop_path_rate,
+                           moe_experts=cfg.moe_experts,
+                           moe_capacity_factor=cfg.moe_capacity_factor,
                            dtype=dtype)
     if mt == "repnet":
         # RepNet-style period counter (models/repnet.py; the learnable

@@ -160,6 +160,8 @@ class DividedBlock(nn.Module):
     flash: bool = False  # Pallas flash kernel for the spatial attention
     fold_temporal_fc: bool = False  # t_fc folded into t_attn.proj (inference)
     block_barrier: bool = False  # optimization_barrier at block entry
+    moe_experts: int = 0  # >0: MoE MLP with this many experts (models/moe.py)
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, cls_tok: jnp.ndarray, patches: jnp.ndarray,
@@ -225,7 +227,17 @@ class DividedBlock(nn.Module):
         # MLP over every token (cls + patches), pre-LN; one per-sample
         # stochastic-depth mask shared by cls and patches (the torch stack
         # drops the concatenated tensor)
-        mlp = Mlp(d, int(d * self.mlp_ratio), self.dtype, self.drop, name="mlp")
+        if self.moe_experts > 0:
+            # expert-parallel MoE MLP (beyond-reference; models/moe.py):
+            # one shared router+expert stack serves both the cls and the
+            # patch tokens, experts sharded over the mesh 'model' axis
+            from workoutdetector_tpu.models.moe import MoEMlp
+            mlp = MoEMlp(d, int(d * self.mlp_ratio), self.moe_experts,
+                         self.moe_capacity_factor, self.dtype, self.drop,
+                         name="mlp")
+        else:
+            mlp = Mlp(d, int(d * self.mlp_ratio), self.dtype, self.drop,
+                      name="mlp")
         norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="mlp_norm")
         if det:
             mask = None
@@ -301,6 +313,11 @@ class TimeSformer(nn.Module):
     flash_attention: bool = False
     fold_temporal_fc: bool = False
     block_barrier: bool = False
+    # MoE MLPs in the divided blocks (0 = dense; models/moe.py — expert
+    # stacks are 3-D leaves that parallel.mesh.param_spec shards over
+    # 'model': expert parallelism)
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -346,6 +363,8 @@ class TimeSformer(nn.Module):
                     flash=self.flash_attention,
                     fold_temporal_fc=self.fold_temporal_fc,
                     block_barrier=self.block_barrier,
+                    moe_experts=self.moe_experts,
+                    moe_capacity_factor=self.moe_capacity_factor,
                     name=f"block_{i}")(cls_tok, patches, train)
             feat = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                 name="norm")(cls_tok[:, 0])
