@@ -217,3 +217,21 @@ def test_engine_model_axis_sharding_matches_replicated():
                                           dtype=np.uint8)
     np.testing.assert_allclose(eng.score_windows(x), plain.score_windows(x),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_prefetch_to_device_order_and_sharding():
+    """Device prefetch (parallel.mesh.prefetch_to_device): batches come
+    out in order, already sharded over 'data', for buffer sizes below,
+    at, and above the stream length — including the empty stream."""
+    from workoutdetector_tpu.parallel.mesh import prefetch_to_device
+
+    mesh = create_mesh()
+    batches = [(np.full((8, 2), i, np.float32), np.full((8,), i, np.int32))
+               for i in range(5)]
+    for size in (1, 2, 8):
+        out = list(prefetch_to_device(iter(batches), mesh, size=size))
+        assert len(out) == 5
+        for i, (x, y) in enumerate(out):
+            assert float(x[0, 0]) == i and int(y[0]) == i
+            assert x.sharding.spec == jax.sharding.PartitionSpec("data")
+    assert list(prefetch_to_device(iter([]), mesh)) == []

@@ -145,6 +145,24 @@ def local_batch_size(global_batch: int, mesh: Mesh, axis: str = "data") -> int:
     return global_batch // n
 
 
+def prefetch_to_device(iterator: Any, mesh: Mesh, size: int = 2,
+                       axis: str = "data"):
+    """Device-prefetching iterator: keep ``size`` sharded batches in
+    flight so the H2D transfer of batch k+1 overlaps the device compute
+    of batch k (jax transfers are async; the classic TPU input-pipeline
+    double-buffer). Yields batches in order, already sharded over
+    ``axis`` — the trainer consumes this instead of calling
+    :func:`shard_batch` synchronously per step."""
+    from collections import deque
+    buf: deque = deque()
+    for batch in iterator:
+        buf.append(shard_batch(batch, mesh, axis))
+        if len(buf) > size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
     """device_put a host pytree with the leading dim sharded over ``axis``.
 

@@ -42,6 +42,7 @@ from workoutdetector_tpu.data.loader import DataLoader
 from workoutdetector_tpu.models.factory import build_model, example_input
 from workoutdetector_tpu.ops.preprocess import normalize_clip
 from workoutdetector_tpu.parallel.mesh import (batch_sharding, create_mesh,
+                                               prefetch_to_device,
                                                replicated_sharding, shard_batch,
                                                state_sharding)
 from workoutdetector_tpu.train.loggers import build_loggers
@@ -252,8 +253,7 @@ class Trainer:
     def evaluate(self, state: TrainState, loader: DataLoader) -> Dict[str, float]:
         eval_step = self.eval_step_fn()
         tot_correct, tot, tot_loss = 0, 0, 0.0
-        for x, y in loader:
-            batch = shard_batch((x, y), self.mesh)
+        for batch in prefetch_to_device(iter(loader), self.mesh):
             m = eval_step(state, *batch)
             n = int(m["total"])
             tot_correct += int(m["correct"])
@@ -321,12 +321,12 @@ class Trainer:
         profiling = False
         for epoch in range(max_epochs):
             train_loader.set_epoch(epoch)
-            for x, y in train_loader:
+            # device prefetch: batch k+1's H2D overlaps batch k's compute
+            for bx, by in prefetch_to_device(iter(train_loader), self.mesh):
                 # trace steps [2, 2 + profile_steps): step 1 pays compile
                 if cfg.log.profile_steps > 0 and global_step == 1 and not profiling:
                     jax.profiler.start_trace(os.path.join(log_dir, "profile"))
                     profiling = True
-                bx, by = shard_batch((x, y), self.mesh)
                 state, metrics = train_step(state, bx, by)
                 global_step += 1
                 timer.tick()
