@@ -22,6 +22,9 @@ def main() -> None:
     parser.add_argument("--resident", action="store_true",
                         help="reuse a device-resident batch (excludes H2D; "
                         "isolates compute from interconnect transfer)")
+    parser.add_argument("--device-augment", action="store_true",
+                        help="feed scale_size uint8 canvases and run "
+                        "MultiScaleCrop+flip inside the step (ops/augment.py)")
     args = parser.parse_args()
 
     import jax
@@ -41,12 +44,15 @@ def main() -> None:
     cfg.model.dtype = "bfloat16"
     cfg.model.remat = args.remat
     cfg.data.image_size = 224
+    cfg.data.device_augment = args.device_augment
 
     trainer = Trainer(cfg)
     state = trainer.init_state(steps_per_epoch=100, image_size=224)
     step = trainer.train_step_fn()
     rng = np.random.default_rng(0)
-    x = rng.integers(0, 256, (args.batch, 8, 224, 224, 3), dtype=np.uint8)
+    in_size = cfg.data.scale_size if args.device_augment else 224
+    x = rng.integers(0, 256, (args.batch, 8, in_size, in_size, 3),
+                     dtype=np.uint8)
     y = rng.integers(0, 12, (args.batch,)).astype(np.int32)
 
     # sync by HOST FETCH, not block_until_ready: the tunneled 'axon'
@@ -65,7 +71,7 @@ def main() -> None:
     dt = time.perf_counter() - t0
     print(f"train: {args.batch * args.steps / dt:.1f} clips/s "
           f"({dt / args.steps * 1e3:.1f} ms/step, remat={args.remat}, "
-          f"resident={args.resident})")
+          f"resident={args.resident}, device_augment={args.device_augment})")
 
 
 if __name__ == "__main__":

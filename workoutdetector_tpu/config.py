@@ -276,6 +276,10 @@ class DataConfig(ConfigNode):
     num_workers: int = 8
     image_size: int = 224
     scale_size: int = 256
+    # trace MultiScaleCrop + flip into the jitted train step
+    # (ops/augment.py): the host ships (scale_size, scale_size) uint8
+    # canvases and the TPU does the geometric augmentation
+    device_augment: bool = False
     train: SplitConfig = field(default_factory=SplitConfig)
     val: SplitConfig = field(default_factory=SplitConfig)
     test: SplitConfig = field(default_factory=SplitConfig)

@@ -433,7 +433,9 @@ def build_dataset(cfg: DataConfig, split: str):
             backend=getattr(cfg, "person_backend", "motion"),
             checkpoint=getattr(cfg, "person_checkpoint", None)))
     transform = build_transform(split, person_crop=person_crop,
-                                size=cfg.image_size, scale=cfg.scale_size)
+                                size=cfg.image_size, scale=cfg.scale_size,
+                                device_augment=getattr(cfg, "device_augment",
+                                                       False))
     if cfg.dataset_type == "FrameDataset":
         return FrameDataset(data_root=cfg.data_root,
                             anno_path=split_cfg.anno,

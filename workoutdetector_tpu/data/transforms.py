@@ -179,8 +179,14 @@ class TestTransform:
 
 
 def build_transform(split: str, person_crop=None, size: int = INPUT_SIZE,
-                    scale: int = SCALE_SIZE):
-    """Factory mirroring reference build.py:71-86."""
+                    scale: int = SCALE_SIZE, device_augment: bool = False):
+    """Factory mirroring reference build.py:71-86.
+
+    With ``device_augment`` the train split only letterboxes frames to a
+    fixed (scale, scale) uint8 canvas here; MultiScaleCrop + flip run on
+    device inside the jitted train step (ops/augment.py)."""
     if split == "train":
+        if device_augment:
+            return TestTransform(size=scale, scale=scale)
         return TrainTransform(size=size)
     return TestTransform(size=size, scale=scale, person_crop=person_crop)

@@ -137,11 +137,23 @@ class Trainer:
     def _make_train_step(self):
         model, tx = self.model, self.tx
         base_key = jax.random.PRNGKey(self.cfg.seed + 1)
+        aug_key = jax.random.PRNGKey(self.cfg.seed + 2)
 
         aux_w = self.cfg.model.aux_loss_weight
         moe_w = self.cfg.model.moe_aux_weight
+        device_augment = self.cfg.data.device_augment
+        out_size = self.cfg.data.image_size
 
         def train_step(state: TrainState, x_u8: jnp.ndarray, y: jnp.ndarray):
+            if device_augment:
+                # MultiScaleCrop + flip on device (ops/augment.py): the
+                # loader ships square uint8 canvases; the resample and
+                # flip fuse with the normalize fma below
+                from workoutdetector_tpu.ops.augment import \
+                    device_train_augment
+                x_u8 = device_train_augment(
+                    x_u8, jax.random.fold_in(aug_key, state.step),
+                    out_size=out_size)
             x = normalize_clip(x_u8)
             dropout_rng = jax.random.fold_in(base_key, state.step)
 
