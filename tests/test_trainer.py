@@ -113,11 +113,46 @@ def test_resume_from_checkpoint(tmp_path):
     step_after = int(state.step)
     assert step_after > 0
 
+    # a resumed run continues the epoch budget, so train further by
+    # raising max_epochs (resuming with the SAME budget is a no-op —
+    # see test_resume_continues_epoch_budget)
     cfg2 = small_cfg(tmp_path)
+    cfg2.trainer.max_epochs = 2
     cfg2.trainer.resume_from_checkpoint = os.path.join(ckpt_dir, "last")
     trainer2 = Trainer(cfg2)
     state2, _ = trainer2.fit(ckpt_dir=str(tmp_path / "ckpts2"))
     assert int(state2.step) > step_after
+
+
+def test_resume_continues_epoch_budget(tmp_path):
+    """Resume continues the EPOCH count (Lightning semantics): a run that
+    already finished k of max_epochs trains max_epochs - k more epochs,
+    not max_epochs more. Regression: the epoch loop used to restart at 0
+    after restore, doubling the budget of a completed run."""
+    cfg = small_cfg(tmp_path)
+    cfg.trainer.max_epochs = 2
+    trainer = Trainer(cfg)
+    ckpt_dir = str(tmp_path / "ckpts")
+    state, _ = trainer.fit(ckpt_dir=ckpt_dir)
+    steps_full = int(state.step)  # 2 epochs x steps_per_epoch
+    assert steps_full == 2 * (16 // 8)
+
+    # resume the COMPLETED run: the epoch budget is spent, so no new
+    # steps run (previously it would train 2 more full epochs)
+    cfg2 = small_cfg(tmp_path)
+    cfg2.trainer.max_epochs = 2
+    cfg2.trainer.resume_from_checkpoint = os.path.join(ckpt_dir, "last")
+    trainer2 = Trainer(cfg2)
+    state2, _ = trainer2.fit(ckpt_dir=str(tmp_path / "ckpts2"))
+    assert int(state2.step) == steps_full
+
+    # raising max_epochs trains exactly the difference
+    cfg3 = small_cfg(tmp_path)
+    cfg3.trainer.max_epochs = 3
+    cfg3.trainer.resume_from_checkpoint = os.path.join(ckpt_dir, "last")
+    trainer3 = Trainer(cfg3)
+    state3, _ = trainer3.fit(ckpt_dir=str(tmp_path / "ckpts3"))
+    assert int(state3.step) == steps_full + (16 // 8)
 
 
 def test_eval_keeps_tail_partial_batch(tmp_path):

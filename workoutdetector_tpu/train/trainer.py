@@ -328,10 +328,17 @@ class Trainer:
         max_epochs = 1 if cfg.trainer.fast_dev_run else cfg.trainer.max_epochs
         history: Dict[str, float] = {}
         global_step = int(state.step)
+        # resume continues the EPOCH budget too (Lightning semantics,
+        # reference trainer.py resume_from_checkpoint): a run restored
+        # after k epochs trains max_epochs - k more, not max_epochs more.
+        # Derived from the restored step count so 'last' checkpoints from
+        # older runs (no epoch in meta) resume correctly as well.
+        start_epoch = 0 if cfg.trainer.fast_dev_run else \
+            min(global_step // steps_per_epoch, max_epochs)
         from workoutdetector_tpu.utils.profiling import StepTimer
         timer = StepTimer()
         profiling = False
-        for epoch in range(max_epochs):
+        for epoch in range(start_epoch, max_epochs):
             train_loader.set_epoch(epoch)
             # device prefetch: batch k+1's H2D overlaps batch k's compute
             for bx, by in prefetch_to_device(iter(train_loader), self.mesh):
