@@ -143,6 +143,27 @@ def test_static_index(server):
         assert el in html, el
 
 
+def test_healthz_and_stats(server):
+    """Ops endpoints: /healthz for load-balancer probes (no device call),
+    /stats for batcher/connection/upload counters."""
+    import json as _json
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.http_port}/healthz", timeout=10) as r:
+        health = _json.loads(r.read())
+    assert health["status"] == "ok"
+    assert health["periodic"] is False
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.http_port}/stats", timeout=10) as r:
+        stats = _json.loads(r.read())
+    assert stats["uptime_s"] >= 0
+    assert stats["ws_active"] == 0
+    assert stats["num_labels"] == len(server.labels)
+    assert set(stats["batcher"]) == {"requests", "flushes", "coalescing"}
+    # uploads counted (other tests in this module POST /video; at module
+    # scope the exact number depends on test order, so assert type only)
+    assert isinstance(stats["uploads"], int)
+
+
 def test_static_no_path_traversal(server):
     """'..' segments must not escape the static root (urllib normalizes
     paths, so speak raw HTTP)."""

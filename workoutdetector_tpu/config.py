@@ -181,6 +181,12 @@ class OptimizerConfig(ConfigNode):
     # 7e5 → nan on the brightness drive at lr 0.02).
     grad_clip: float = 20.0
     use_tsn_policies: bool = True  # per-group lr/decay multipliers
+    # >0 enables an exponential moving average of the params (decay per
+    # step, e.g. 0.999): one fused tree-fma in the train step; eval and
+    # 'best' selection then use the EMA weights (beyond-reference,
+    # standard production-training practice). 0 = off (state pytree is
+    # unchanged, so pre-EMA checkpoints keep restoring cleanly).
+    ema_decay: float = 0.0
 
 
 @dataclass

@@ -27,6 +27,7 @@ import logging
 import os
 import tempfile
 import threading
+import time
 from base64 import b64decode
 from concurrent.futures import ThreadPoolExecutor
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -140,6 +141,34 @@ class WorkoutServer:
             max_workers=min(8, os.cpu_count() or 4),
             thread_name_prefix="ws-prep")
         self._httpd: Optional[ThreadingHTTPServer] = None
+        # ops counters for /healthz and /stats (load balancers and
+        # production monitoring; beyond the reference app's surface)
+        self._t0 = time.time()
+        self._ws_active = 0
+        self._uploads = 0
+
+    def stats(self) -> Dict:
+        """Operational snapshot served at GET /stats."""
+        def bstats(b):
+            return None if b is None else {
+                "requests": b.n_requests,
+                "flushes": b.n_flushes,
+                "coalescing": round(b.n_requests / b.n_flushes, 2)
+                if b.n_flushes else None,
+            }
+        out = {
+            "uptime_s": round(time.time() - self._t0, 1),
+            "ws_active": self._ws_active,
+            "uploads": self._uploads,
+            "window_batch": self.engine.window_batch,
+            "num_labels": len(self.labels),
+            "batcher": bstats(self.batcher),
+        }
+        if self.count_batcher is not self.batcher:
+            out["count_batcher"] = bstats(self.count_batcher)
+        if self.periodic_batcher is not None:
+            out["periodic_batcher"] = bstats(self.periodic_batcher)
+        return out
 
     # ---------------- video upload path ---------------- #
     def inference_video_file(self, path: str) -> Dict:
@@ -155,6 +184,7 @@ class WorkoutServer:
         idx = sample_frames(len(clip), SAMPLE_LENGTH, random=False)
         window = clip[idx]
         scores = self.engine.score_windows(window[None])[0]
+        self._uploads += 1
         return {"success": True, "data": scores_to_payload(scores, self.labels)}
 
     # ---------------- websocket path ---------------- #
@@ -179,6 +209,7 @@ class WorkoutServer:
         mode = "recognize"
         counter: Optional[OnlineRepCounter] = None
         pcounter: Optional[StreamingPeriodicCounter] = None
+        self._ws_active += 1
         try:
             async for message in websocket:
                 if message == "stop":
@@ -257,6 +288,8 @@ class WorkoutServer:
                     {"success": False, "msg": f"server error: {e}"}))
             except Exception:
                 pass
+        finally:
+            self._ws_active -= 1
 
     # ---------------- http path ---------------- #
     def _make_http_handler(self):
@@ -316,6 +349,19 @@ class WorkoutServer:
 
             def do_GET(self):
                 path = self.path.split("?")[0]
+                if path.rstrip("/") == "/healthz":
+                    # liveness/readiness for load balancers: cheap (no
+                    # device call per probe), reports what is served
+                    self._send_json({
+                        "status": "ok",
+                        "model_type": getattr(server.engine, "meta", {})
+                        .get("model_type", "tsm"),
+                        "periodic": server.periodic_engine is not None,
+                    })
+                    return
+                if path.rstrip("/") == "/stats":
+                    self._send_json(server.stats())
+                    return
                 if path == "/":
                     path = "/index.html"
                 fs_path = os.path.realpath(

@@ -51,17 +51,26 @@ class CheckpointManager:
                 meta = json.load(f)
         return restored, meta
 
-    def restore_variables(self, path_or_name: str) -> Dict[str, Any]:
+    def restore_variables(self, path_or_name: str,
+                          prefer_ema: bool = True) -> Dict[str, Any]:
         """Target-free restore of just the model variables.
 
         Reads the raw checkpoint tree (no structure needed) and returns
         {'params', 'batch_stats'} — what serving/eval need without knowing
-        the optimizer-state layout the trainer saved.
+        the optimizer-state layout the trainer saved. When the run trained
+        with EMA (optimizer.ema_decay > 0) the checkpoint carries
+        'ema_params'; ``prefer_ema`` ships those as 'params' — the
+        averaged weights are the deployment weights. The trainer's resume
+        fallback passes ``prefer_ema=False`` to keep training the raw ones.
         """
         path = path_or_name if os.path.isabs(path_or_name) or os.path.sep in \
             path_or_name else self._path(path_or_name)
         raw = self._ckptr.restore(os.path.abspath(path))
-        out = {"params": raw.get("params", raw)}
+        params = raw.get("params", raw)
+        if prefer_ema and isinstance(raw, dict) and \
+                raw.get("ema_params") is not None:
+            params = raw["ema_params"]
+        out = {"params": params}
         if "batch_stats" in raw:
             out["batch_stats"] = raw["batch_stats"]
         return out

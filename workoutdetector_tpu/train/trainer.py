@@ -54,6 +54,18 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # exponential moving average of params (cfg.optimizer.ema_decay > 0);
+    # None when disabled — an empty pytree subtree, so non-EMA states keep
+    # the pre-EMA checkpoint structure and old checkpoints restore cleanly
+    ema_params: Any = None
+
+
+def swap_ema(state: TrainState) -> TrainState:
+    """State with the EMA weights promoted to ``params`` (what export /
+    serving should ship when EMA training was on). No-op when EMA is off."""
+    if state.ema_params is None:
+        return state
+    return state.replace(params=state.ema_params)
 
 
 def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
@@ -121,10 +133,16 @@ class Trainer:
         if self._accum > 1:
             # accumulate micro-batch grads; params update every k-th step
             self.tx = optax.MultiSteps(self.tx, self._accum)
+        # ema seeds as a DISTINCT copy of params: the train step donates
+        # the whole state, and aliased leaves (same buffer appearing as
+        # both params and ema_params) trip XLA's double-donation check
+        ema0 = jax.tree_util.tree_map(jnp.copy, params) \
+            if self.cfg.optimizer.ema_decay > 0 else None
         state = TrainState(step=jnp.zeros((), jnp.int32),
                            params=params,
                            batch_stats=batch_stats,
-                           opt_state=self.tx.init(params))
+                           opt_state=self.tx.init(params),
+                           ema_params=ema0)
         # Lay the state out over the mesh: big kernels (and their optimizer
         # momentum) partition over the 'model' axis, small leaves replicate.
         self._state_sharding = state_sharding(state, self.mesh,
@@ -143,6 +161,7 @@ class Trainer:
         moe_w = self.cfg.model.moe_aux_weight
         device_augment = self.cfg.data.device_augment
         out_size = self.cfg.data.image_size
+        ema_decay = self.cfg.optimizer.ema_decay
 
         def train_step(state: TrainState, x_u8: jnp.ndarray, y: jnp.ndarray):
             if device_augment:
@@ -189,10 +208,19 @@ class Trainer:
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
+            new_ema = state.ema_params
+            if new_ema is not None:
+                # EMA of the weights (one fused tree-fma; initialized at
+                # the init params, no debias — standard flax practice)
+                d = ema_decay
+                new_ema = jax.tree_util.tree_map(
+                    lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                    new_ema, new_params)
             new_state = state.replace(step=state.step + 1,
                                       params=new_params,
                                       batch_stats=new_stats,
-                                      opt_state=new_opt)
+                                      opt_state=new_opt,
+                                      ema_params=new_ema)
             return new_state, {"loss": loss, "acc": acc}
 
         # out_shardings pins the new state to the same layout as the input
@@ -208,11 +236,15 @@ class Trainer:
 
     def _make_eval_step(self):
         model = self.model
+        use_ema = self.cfg.optimizer.ema_decay > 0
 
         def eval_step(state: TrainState, x_u8: jnp.ndarray, y: jnp.ndarray):
             x = normalize_clip(x_u8)
+            # EMA training evaluates (and therefore selects 'best' by)
+            # the averaged weights — the weights you would deploy
+            params = state.ema_params if use_ema else state.params
             logits = model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": state.batch_stats},
                 x,
                 train=False)
             # label -1 marks loader pad rows (drop_last=False tail batch):
@@ -315,10 +347,20 @@ class Trainer:
                 # optimizer config changed since the checkpoint (e.g.
                 # grad_accum toggled) → opt_state structure mismatch.
                 # Restore weights only and continue with a fresh optimizer.
-                restored = ckpt.restore_variables(cfg.trainer.resume_from_checkpoint)
+                restored = ckpt.restore_variables(
+                    cfg.trainer.resume_from_checkpoint, prefer_ema=False)
                 state = state.replace(params=restored["params"],
                                       batch_stats=restored.get(
-                                          "batch_stats", state.batch_stats))
+                                          "batch_stats", state.batch_stats),
+                                      # a pre-EMA checkpoint into an EMA
+                                      # run: seed the average at the
+                                      # restored weights, not at init
+                                      # (copied — aliased leaves would be
+                                      # donated twice by the train step)
+                                      ema_params=(jax.tree_util.tree_map(
+                                          jnp.copy, restored["params"])
+                                          if state.ema_params is not
+                                          None else None))
                 meta = {}
                 print("[resume] optimizer state structure changed; restored "
                       "weights only, optimizer starts fresh")
