@@ -225,8 +225,38 @@ def train_eval(image_size: int, steps: int, train_reps: int,
                 pred_rep_starts=reps[::2], gt_rep_starts=GT_REP_STARTS)
 
 
+def _stream_count(engine, path: str, rates=(1, 2, 4, 8)) -> dict:
+    """Count one video through the ONLINE StreamingPeriodicCounter
+    (infer/streaming.py — the WS 'mode:count-periodic' engine), frame by
+    frame, at each temporal rate; keep the most periodic rate (the live
+    analog of count_by_repnet's offline rate sweep). Measures what a
+    live session achieves, hop by hop, vs the batch counter's number."""
+    import numpy as np
+
+    from workoutdetector_tpu.data.video import VideoReader
+    from workoutdetector_tpu.infer.streaming import StreamingPeriodicCounter
+
+    with VideoReader(path) as r:
+        frames = r.read_raw()
+    best = {"count": 0, "period_frames": 0, "strength": 0.0, "rate": rates[0]}
+    best_s = -1.0
+    for rate in rates:
+        c = StreamingPeriodicCounter(engine, rate=rate)
+        strengths = []
+        for f in frames:
+            st = c.push(f)
+            if st is not None:
+                strengths.append(st["strength"])
+        s = float(np.mean(strengths)) if strengths else 0.0
+        if s > best_s:
+            best_s = s
+            best = {"count": c.count, "period_frames": c.period_frames,
+                    "strength": round(s, 3), "rate": rate}
+    return best
+
+
 def repnet_eval(steps: int, image_size: int, lr: float,
-                grid: bool = False) -> dict:
+                grid: bool = False, streaming: bool = False) -> dict:
     """Train the RepNet period family on SYNTHETIC clips only, then count
     the four real example videos (models/repnet.py, zero annotations):
     the transfer test for the learnable counter. Report per-video counts
@@ -288,20 +318,32 @@ def repnet_eval(steps: int, image_size: int, lr: float,
         {"params": state.params, "batch_stats": state.batch_stats},
         num_segments=t_win, window_batch=4, image_size=image_size)
     preds, gts, rows = [], [], []
+    stream_preds = []
     for name, (action, gt) in COUNTIX_GT.items():
         count, period, strength = count_by_repnet(
             engine, osp.join(EXAMPLES, name), grid=grid)
-        rows.append(dict(video=name, action=action, gt=gt, pred=count,
-                         period_frames=period,
-                         strength=round(float(strength), 3)))
+        row = dict(video=name, action=action, gt=gt, pred=count,
+                   period_frames=period,
+                   strength=round(float(strength), 3))
+        if streaming:
+            s = _stream_count(engine, osp.join(EXAMPLES, name))
+            row["stream"] = s
+            stream_preds.append(s["count"])
+        rows.append(row)
         preds.append(count)
         gts.append(gt)
     mae, obo = obo_mae(preds, gts)
-    return dict(mode="repnet", steps=steps, grid=grid,
-                final_train_acc=round(last.get("acc", 0.0), 3),
-                videos=rows, raw_mae=round(mae, 4),
-                obo_exact1=round(obo, 4),
-                within_one=sum(abs(p - g) <= 1 for p, g in zip(preds, gts)))
+    out = dict(mode="repnet", steps=steps, grid=grid,
+               final_train_acc=round(last.get("acc", 0.0), 3),
+               videos=rows, raw_mae=round(mae, 4),
+               obo_exact1=round(obo, 4),
+               within_one=sum(abs(p - g) <= 1 for p, g in zip(preds, gts)))
+    if streaming:
+        smae, sobo = obo_mae(stream_preds, gts)
+        out["stream_raw_mae"] = round(smae, 4)
+        out["stream_within_one"] = sum(
+            abs(p - g) <= 1 for p, g in zip(stream_preds, gts))
+    return out
 
 
 def main() -> None:
@@ -320,6 +362,10 @@ def main() -> None:
     parser.add_argument("--grid", action="store_true",
                         help="repnet: also score quadrant views "
                              "(count_by_repnet grid mode)")
+    parser.add_argument("--streaming", action="store_true",
+                        help="repnet: additionally count each video "
+                             "through the ONLINE StreamingPeriodicCounter "
+                             "(the live WS mode) and report its MAE")
     args = parser.parse_args()
     if not osp.isdir(EXAMPLES):
         print(json.dumps({"error": "reference example videos not mounted"}))
@@ -333,7 +379,8 @@ def main() -> None:
         res = similarity_eval()
     elif args.mode == "repnet":
         res = repnet_eval(args.steps or 720, args.image_size or 64,
-                          args.lr, grid=args.grid)
+                          args.lr, grid=args.grid,
+                          streaming=args.streaming)
     else:
         res = train_eval(args.image_size or 112, args.steps or 480,
                          args.train_reps, args.lr)
