@@ -349,6 +349,12 @@ class ParallelConfig(ConfigNode):
     # the per-use all-gather and grad reduce-scatter. Composes with
     # model_axis tensor sharding. See parallel/mesh.param_spec.
     fsdp: bool = False
+    # Multi-slice (DCN-connected pods): > 1 adds a leading 'slice' mesh
+    # axis that carries pure data parallelism — params replicate across
+    # slices and only the gradient all-reduce crosses DCN, while
+    # model/fsdp collectives stay on ICI within a slice. See
+    # parallel/mesh.create_mesh.
+    slices: int = 1
 
 
 @dataclass

@@ -72,9 +72,10 @@ class InferenceEngine:
         assert gather in ("device", "host"), gather
         self.gather = gather
         if mesh is not None:
-            n = mesh.shape["data"]
+            from workoutdetector_tpu.parallel.mesh import dp_size
+            n = dp_size(mesh)
             assert window_batch % n == 0, \
-                f"window_batch {window_batch} must divide data axis {n}"
+                f"window_batch {window_batch} must divide data-parallel ways {n}"
         self._fn = self._build()
         self._video_fn = None  # lazily-built fused gather+normalize+model
 

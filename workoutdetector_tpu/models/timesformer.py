@@ -37,7 +37,7 @@ import numpy as np
 from flax import linen as nn
 from jax.sharding import PartitionSpec as P
 
-from workoutdetector_tpu.parallel.mesh import seq_constrain
+from workoutdetector_tpu.parallel.mesh import dp_entry, seq_constrain
 
 # ViT variants accepted as TimeSformer backbones: (embed, depth, heads)
 VIT_VARIANTS = {
@@ -184,8 +184,11 @@ class DividedBlock(nn.Module):
         # local per device; the transpose to frame-major below becomes the
         # all-to-all GSPMD inserts. The layout alternation IS the
         # communication pattern.
+        # batch dim follows the mesh's data-parallel axes (('slice',
+        # 'data') on a hybrid multi-slice mesh, 'data' otherwise)
+        dp = dp_entry(self.seq_mesh) if self.seq_mesh is not None else "data"
         patches = seq_constrain(patches, self.seq_mesh,
-                                P("data", "model", None, None), dims=(0, 1))
+                                P(dp, "model", None, None), dims=(0, 1))
 
         # temporal attention per patch location (over T), output through a
         # zero-init projection: the block starts as a spatial-only ViT
@@ -209,7 +212,7 @@ class DividedBlock(nn.Module):
         # 'model' so per-frame attention over all P is local again
         sp4 = patches.transpose(0, 2, 1, 3)  # (b, t, p, d)
         sp4 = seq_constrain(sp4, self.seq_mesh,
-                            P("data", "model", None, None), dims=(0, 1))
+                            P(dp, "model", None, None), dims=(0, 1))
         sp = sp4.reshape(b * t, p, d)
         cls_rep = jnp.broadcast_to(cls_tok[:, None], (b, t, 1, d))
         sp = jnp.concatenate([cls_rep.reshape(b * t, 1, d), sp], axis=1)
@@ -220,7 +223,7 @@ class DividedBlock(nn.Module):
         cls_res = jnp.mean(sp[:, 0].reshape(b, t, d), axis=1, keepdims=True)
         sp_res = sp[:, 1:].reshape(b, t, p, d).transpose(0, 2, 1, 3)
         sp_res = seq_constrain(sp_res, self.seq_mesh,
-                               P("data", "model", None, None), dims=(0, 1))
+                               P(dp, "model", None, None), dims=(0, 1))
         cls_tok = cls_tok + cls_res
         patches = patches + sp_res
 

@@ -24,14 +24,45 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def create_mesh(devices: Optional[Sequence[jax.Device]] = None,
                 data: int = -1,
                 model: int = 1,
+                slices: int = 1,
                 axis_names: Sequence[str] = ("data", "model")) -> Mesh:
-    """Create a 2D (data, model) mesh.
+    """Create a 2D (data, model) mesh — or, with ``slices > 1``, a 3D
+    (slice, data, model) **hybrid multi-slice mesh** for multi-pod /
+    multi-slice TPU deployments.
+
+    The hybrid layout is the scaling-book recipe for DCN-connected
+    slices: the leading ``slice`` axis crosses the slow DCN link and
+    carries ONLY the per-step gradient all-reduce (pure data
+    parallelism — one latency-tolerant collective per step), while
+    ``data`` (DP/FSDP within a slice) and ``model`` (tensor/sp/pp/ep)
+    stay inside a slice so their chatty all-gathers / all-to-alls /
+    ppermutes ride ICI. Devices are grouped onto the slice axis by
+    their real topology (``device.slice_index`` on multi-slice TPU
+    hardware) and by contiguous chunks elsewhere (CPU test meshes).
 
     data == -1 ⇒ use all remaining devices on the data axis.
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
+    if slices > 1:
+        assert n % slices == 0, f"{n} devices not divisible by slices={slices}"
+        per = n // slices
+        # group by the hardware slice when the backend exposes it so the
+        # 'slice' axis really is the DCN boundary; stable-sort keeps the
+        # intra-slice device order (ICI neighbors stay adjacent)
+        slice_ids = [getattr(d, "slice_index", None) for d in devices]
+        if all(s is not None for s in slice_ids) and \
+                len(set(slice_ids)) == slices:
+            devices = sorted(devices, key=lambda d: d.slice_index)
+        if data == -1:
+            assert per % model == 0, \
+                f"{per} devices/slice not divisible by model={model}"
+            data = per // model
+        assert slices * data * model == n, \
+            f"mesh {slices}x{data}x{model} != {n} devices"
+        dev_array = np.asarray(devices).reshape(slices, data, model)
+        return Mesh(dev_array, axis_names=("slice",) + tuple(axis_names))
     if data == -1:
         assert n % model == 0, f"{n} devices not divisible by model={model}"
         data = n // model
@@ -40,9 +71,27 @@ def create_mesh(devices: Optional[Sequence[jax.Device]] = None,
     return Mesh(dev_array, axis_names=tuple(axis_names))
 
 
+def dp_entry(mesh: Mesh, axis: str = "data"):
+    """The PartitionSpec entry for the batch dim: ``('slice', 'data')``
+    on a hybrid multi-slice mesh (the global batch spans both the DCN
+    and the intra-slice data axis), plain ``'data'`` otherwise."""
+    if "slice" in mesh.axis_names and axis == "data":
+        return ("slice", axis)
+    return axis
+
+
+def dp_size(mesh: Mesh, axis: str = "data") -> int:
+    """Total data-parallel ways: slice × data on a hybrid mesh."""
+    n = mesh.shape.get(axis, 1)
+    if "slice" in mesh.axis_names and axis == "data":
+        n *= mesh.shape["slice"]
+    return n
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis; replicate the rest."""
-    return NamedSharding(mesh, P(axis))
+    """Shard the leading (batch) dim over the data axis (slice × data on
+    a hybrid mesh); replicate the rest."""
+    return NamedSharding(mesh, P(dp_entry(mesh, axis)))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
@@ -69,6 +118,12 @@ def param_spec(shape: Sequence[int], mesh: Mesh, axis: str = "model",
 
     Shape-based (not name-based) so the same rule covers params, optax
     momentum buffers, and batch_stats without pytree-path plumbing.
+
+    On a hybrid multi-slice mesh (create_mesh(slices=...)) params are
+    NEVER sharded over the 'slice' axis: weights replicate across
+    slices, so the only DCN-crossing collective is the per-step gradient
+    all-reduce — tensor all-gathers (model axis) and ZeRO gathers (data
+    axis) stay on ICI inside each slice.
     """
     n = mesh.shape.get(axis, 1)
     nf = mesh.shape.get(fsdp_axis, 1) if fsdp_axis else 1
@@ -139,9 +194,9 @@ def seq_constrain(x: jax.Array, mesh: Optional[Mesh], spec: P,
 
 
 def local_batch_size(global_batch: int, mesh: Mesh, axis: str = "data") -> int:
-    n = mesh.shape[axis]
+    n = dp_size(mesh, axis)
     assert global_batch % n == 0, \
-        f"global batch {global_batch} not divisible by {axis} axis size {n}"
+        f"global batch {global_batch} not divisible by {n} data-parallel ways"
     return global_batch // n
 
 

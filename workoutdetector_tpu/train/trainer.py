@@ -92,7 +92,7 @@ class Trainer:
     def __init__(self, cfg: Config, mesh: Optional[jax.sharding.Mesh] = None):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else create_mesh(
-            model=cfg.parallel.model_axis)
+            model=cfg.parallel.model_axis, slices=cfg.parallel.slices)
         self.model = build_model(cfg.model)
         if getattr(cfg.model, "seq_parallel", False) and \
                 hasattr(self.model, "seq_mesh"):
