@@ -21,12 +21,48 @@ from workoutdetector_tpu.data.transforms import build_transform
 
 
 def read_image(path: str) -> np.ndarray:
-    """Read an image file → RGB uint8 (H, W, 3)."""
+    """Read an image file → RGB uint8 (H, W, 3).
+
+    JPEGs go through the native libjpeg decoder (native/jpeg.cc — RGB
+    straight out of the IDCT, no BGR detour); anything else, or a failed
+    native decode, falls back to cv2."""
+    from workoutdetector_tpu.data import jpeg as njpeg
+    img = njpeg.read_image(path)
+    if img is not None:
+        return img
     import cv2
     img = cv2.imread(path, cv2.IMREAD_COLOR)
     if img is None:
         raise FileNotFoundError(path)
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def _prepped_params(transform) -> Optional[Tuple[int, int]]:
+    """(scale, crop) when ``transform`` is a plain TestTransform whose
+    geometry the native batch decoder can produce in-decode (resize
+    short→scale + center-crop; no person crop), else None."""
+    from workoutdetector_tpu.data.transforms import TestTransform
+    if (type(transform) is TestTransform and transform.person_crop is None
+            and transform.scale >= transform.size):
+        return transform.scale, transform.size
+    return None
+
+
+def _read_clip(paths: List[str], transform, rng) -> np.ndarray:
+    """Decode a clip; TestTransform geometry fuses into the native batch
+    JPEG decode (one C++ thread-pool call, DCT-prescaled — the whole
+    reference hot loop common.py:99-117 in one step), other transforms
+    run on host after per-frame decode."""
+    prep = _prepped_params(transform)
+    if prep is not None:
+        from workoutdetector_tpu.data import jpeg as njpeg
+        out = njpeg.read_batch_prepped(paths, prep[0], prep[1])
+        if out is not None:
+            return out
+    frames = np.stack([read_image(p) for p in paths])
+    if transform is not None:
+        frames = transform(frames, rng)
+    return frames
 
 
 def _load_rawframe_anno(anno_path: str, data_prefix: str, anno_col: int) -> List[dict]:
@@ -80,10 +116,9 @@ class FrameDataset:
         info = self.anno[idx]
         samples = sample_frames(info["total_frames"], self.num_segments,
                                 info["start_index"], self.random, rng)
-        frames = np.stack(
-            [read_image(osp.join(info["frame_dir"], self.tmpl.format(i))) for i in samples])
-        if self.transform is not None:
-            frames = self.transform(frames, rng)
+        frames = _read_clip(
+            [osp.join(info["frame_dir"], self.tmpl.format(i)) for i in samples],
+            self.transform, rng)
         assert frames.shape[0] == self.num_segments
         return frames, info["label"]
 
@@ -115,9 +150,8 @@ class ImageDataset:
         if rng is None:
             rng = np.random.default_rng()
         path, label = self.anno[idx]
-        img = read_image(osp.join(self.data_prefix, path))[None]  # (1,H,W,C)
-        if self.transform is not None:
-            img = self.transform(img, rng)
+        img = _read_clip([osp.join(self.data_prefix, path)], self.transform,
+                         rng)  # (1,H,W,C)
         return img, label
 
     def __len__(self) -> int:
@@ -155,15 +189,13 @@ class TDNDataset:
         total = info["total_frames"]
         starts = tdn_sample_indices(total, self.num_segments, self.num_frames, rng,
                                     self.random) + info["start_index"]
-        frames = []
+        paths = []
         for i in starts:
             for j in range(self.num_frames):
                 # clamp burst inside the annotated span
                 k = min(int(i) + j, info["start_index"] + total - 1)
-                frames.append(read_image(osp.join(info["frame_dir"], self.tmpl.format(k))))
-        clip = np.stack(frames)
-        if self.transform is not None:
-            clip = self.transform(clip, rng)
+                paths.append(osp.join(info["frame_dir"], self.tmpl.format(k)))
+        clip = _read_clip(paths, self.transform, rng)
         assert clip.shape[0] == self.num_segments * self.num_frames
         return clip, info["label"]
 

@@ -26,3 +26,8 @@ WORKOUT_LABELS = [
 # Path of the built native video decoder (see native/).
 NATIVE_DECODER_LIB = os.environ.get(
     "WD_TPU_DECODER_LIB", os.path.join(PROJ_ROOT, "native", "libwdvideo.so"))
+
+# Path of the built native rawframe JPEG decoder (see native/jpeg.cc);
+# set WD_TPU_JPEG_LIB= (empty) to force the cv2 path.
+NATIVE_JPEG_LIB = os.environ.get(
+    "WD_TPU_JPEG_LIB", os.path.join(PROJ_ROOT, "native", "libwdjpeg.so"))
