@@ -126,6 +126,96 @@ print(f"OK-FSDP {pid}")
 """
 
 
+WORKER_SLICE = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+port, pid = sys.argv[1], int(sys.argv[2])
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=pid)
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+sys.path.insert(0, sys.argv[3])
+from workoutdetector_tpu.parallel.mesh import (create_mesh, dp_entry,
+                                               dp_size, param_spec,
+                                               shard_batch)
+
+# hybrid multi-slice mesh over two real processes: the 'slice' axis IS
+# the process (DCN) boundary — jax.devices() orders by process, and
+# create_mesh groups contiguous chunks onto 'slice'
+mesh = create_mesh(slices=2, model=2)
+assert dict(mesh.shape) == {"slice": 2, "data": 2, "model": 2}, mesh.shape
+for si in range(2):
+    procs = {d.process_index for d in mesh.devices[si].flat}
+    assert procs == {si}, (si, procs)  # each slice lives on ONE process
+
+# params: partitioned over 'model', REPLICATED across the slice/process
+# boundary — the only DCN-crossing collective is the grad all-reduce
+spec = param_spec((16, 64), mesh)
+assert spec == P("model", None), spec  # dense kernel: in-features sharded
+rng = np.random.default_rng(7)
+w_np = rng.standard_normal((16, 64)).astype(np.float32)
+sharding = NamedSharding(mesh, spec)
+w = jax.make_array_from_callback((16, 64), sharding, lambda idx: w_np[idx])
+# model-sharded halves within the process, replicated over slice/data
+assert w.addressable_shards[0].data.shape == (8, 64)
+
+# batch spans slice×data: global 8 rows = 4 per process
+x_local = rng.standard_normal((4, 16)).astype(np.float32) + pid
+x = shard_batch(x_local, mesh)
+assert x.shape == (8, 16) and x.sharding.spec == P(("slice", "data"))
+assert dp_size(mesh) == 4
+
+# global matmul + mean over the whole (cross-DCN) batch matches numpy
+y = jax.jit(lambda w, x: jnp.mean(x @ w),
+            in_shardings=(sharding, NamedSharding(mesh, P(dp_entry(mesh)))),
+            out_shardings=NamedSharding(mesh, P()))(w, x)
+base = np.random.default_rng(7)
+base.standard_normal((16, 64))
+rows = base.standard_normal((4, 16)).astype(np.float32)
+x_global = np.concatenate([rows + 0, rows + 1])
+np.testing.assert_allclose(float(y), float((x_global @ w_np).mean()),
+                           rtol=1e-5)
+print(f"OK-SLICE {pid}")
+"""
+
+
+def test_two_process_slice_mesh(tmp_path):
+    """Hybrid multi-slice mesh across two real processes: each slice's
+    devices live on exactly one process (slice axis == DCN boundary),
+    params model-shard within a slice and replicate across slices, the
+    batch spans slice×data, and a global reduction matches numpy."""
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen([sys.executable, "-c", WORKER_SLICE, str(port),
+                          str(i), repo],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         env=env, cwd=str(tmp_path))
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("slice-mesh multi-process workers timed out")
+        outs.append(out.decode())
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert f"OK-SLICE {i}" in out, out
+
+
 def test_two_process_fsdp_param_layout(tmp_path):
     """FSDP across HOSTS: a param sharded over 'data' spans two real
     processes (4 shards each), and a jitted matmul over the global mesh
