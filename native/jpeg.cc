@@ -67,7 +67,6 @@ void resize_bilinear(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
     x1[x] = std::min(x0[x] + 1, sw - 1);
     fx[x] = cx - x0[x];
   }
-  std::vector<float> row(static_cast<size_t>(dw) * 3);
   for (int y = 0; y < dh; ++y) {
     float cy = (y + 0.5f) * sy - 0.5f;
     cy = std::max(0.0f, std::min(cy, static_cast<float>(sh - 1)));
@@ -88,7 +87,48 @@ void resize_bilinear(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
       }
     }
   }
-  (void)row;
+}
+
+// EXIF orientation (tag 0x0112) from the APP1 segment, 1 if absent or
+// unparseable. libjpeg ignores EXIF; cv2.imread applies it — files with
+// a non-identity orientation are REJECTED (rc -4) so the Python caller
+// falls back to cv2 and keeps the upright-image behavior.
+uint32_t rd(const uint8_t* p, int n, bool be) {
+  uint32_t v = 0;
+  for (int i = 0; i < n; ++i) v = (v << 8) | p[be ? i : n - 1 - i];
+  return v;
+}
+
+int exif_orientation(const uint8_t* data, long len) {
+  long i = 2;  // past SOI
+  while (i + 4 <= len && data[i] == 0xFF) {
+    const uint8_t marker = data[i + 1];
+    if (marker == 0xDA || marker == 0xD9) break;  // SOS/EOI: no APP1
+    const long seg = (static_cast<long>(data[i + 2]) << 8) | data[i + 3];
+    if (seg < 2 || i + 2 + seg > len) break;
+    if (marker == 0xE1 && seg >= 16 &&
+        std::memcmp(data + i + 4, "Exif\0\0", 6) == 0) {
+      const uint8_t* t = data + i + 10;          // TIFF header
+      const long tlen = seg - 8;
+      if (tlen < 8) break;
+      bool be;
+      if (t[0] == 'M' && t[1] == 'M') be = true;
+      else if (t[0] == 'I' && t[1] == 'I') be = false;
+      else break;
+      const uint32_t ifd = rd(t + 4, 4, be);
+      if (ifd + 2 > static_cast<uint32_t>(tlen)) break;
+      const uint32_t n = rd(t + ifd, 2, be);
+      for (uint32_t e = 0; e < n; ++e) {
+        const uint32_t off = ifd + 2 + 12 * e;
+        if (off + 12 > static_cast<uint32_t>(tlen)) break;
+        if (rd(t + off, 2, be) == 0x0112)
+          return static_cast<int>(rd(t + off + 8, 2, be));
+      }
+      break;
+    }
+    i += 2 + seg;
+  }
+  return 1;
 }
 
 // Decode one JPEG from memory. target_short > 0 enables DCT prescaling to
@@ -97,6 +137,8 @@ void resize_bilinear(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh,
 // first asks for dims with out == nullptr (two-phase).
 int decode_mem(const uint8_t* data, long len, int target_short, uint8_t* out,
                long out_cap, int* h, int* w) {
+  if (len >= 4 && exif_orientation(data, len) != 1)
+    return -4;  // EXIF-rotated: caller must use the cv2 path
   jpeg_decompress_struct cinfo;
   ErrorMgr err;
   cinfo.err = jpeg_std_error(&err.pub);
@@ -208,17 +250,8 @@ int wdj_dims(const char* path, int* h, int* w) {
                     0, h, w);
 }
 
-// Full-resolution RGB decode of a JPEG file into out (cap bytes).
-// Fills *h/*w; returns 0 on success.
-int wdj_decode_file(const char* path, uint8_t* out, long cap, int* h,
-                    int* w) {
-  std::vector<uint8_t> file;
-  if (read_file(path, &file) != 0) return -1;
-  return decode_mem(file.data(), static_cast<long>(file.size()), 0, out, cap,
-                    h, w);
-}
-
-// Full-resolution RGB decode from memory (serving/upload path).
+// Full-resolution RGB decode from memory. Python's read_image reads the
+// file bytes once and feeds this twice (dims probe, then decode).
 int wdj_decode_mem(const uint8_t* data, long len, uint8_t* out, long cap,
                    int* h, int* w) {
   return decode_mem(data, len, 0, out, cap, h, w);

@@ -93,6 +93,50 @@ def test_grayscale_jpeg_decodes_rgb(tmp_path):
     np.testing.assert_array_equal(a[..., 0], a[..., 1])
 
 
+def _exif_app1(orientation: int) -> bytes:
+    """Minimal APP1/EXIF segment carrying only the Orientation tag."""
+    tiff = (b"II*\x00\x08\x00\x00\x00"            # little-endian, IFD @ 8
+            + b"\x01\x00"                           # 1 entry
+            + b"\x12\x01\x03\x00\x01\x00\x00\x00"   # tag 0x0112, SHORT, x1
+            + orientation.to_bytes(2, "little") + b"\x00\x00"
+            + b"\x00\x00\x00\x00")                  # next IFD = none
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def test_exif_rotated_jpeg_falls_back_to_cv2(tmp_path, jpeg_dir):
+    """libjpeg ignores EXIF while cv2 applies it — the native decoder
+    must reject oriented files so the cv2 path keeps images upright."""
+    with open(jpeg_dir[0], "rb") as f:
+        raw = f.read()
+    rotated = str(tmp_path / "rot.jpg")
+    with open(rotated, "wb") as f:
+        f.write(raw[:2] + _exif_app1(6) + raw[2:])
+    assert njpeg.read_image(rotated) is None
+    assert njpeg.read_batch_prepped([rotated], 256, 224) is None
+    # identity orientation stays on the native path
+    upright = str(tmp_path / "up.jpg")
+    with open(upright, "wb") as f:
+        f.write(raw[:2] + _exif_app1(1) + raw[2:])
+    assert njpeg.read_image(upright) is not None
+    # the dataset-level reader returns cv2's (EXIF-applied) pixels
+    from workoutdetector_tpu.data.datasets import read_image
+    a = read_image(rotated)
+    b = cv2.cvtColor(cv2.imread(rotated, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_native_prep_config_off(jpeg_dir):
+    """cfg.data.native_prep=false pins the exact host pixels: the
+    TestTransform is marked in_decoder=False and the fast path refuses."""
+    from workoutdetector_tpu.data.datasets import _prepped_params
+    from workoutdetector_tpu.data.transforms import build_transform
+    t_on = build_transform("val", native_prep=True)
+    t_off = build_transform("val", native_prep=False)
+    assert _prepped_params(t_on) is not None
+    assert _prepped_params(t_off) is None
+
+
 def test_decode_bytes(jpeg_dir):
     with open(jpeg_dir[0], "rb") as f:
         raw = f.read()

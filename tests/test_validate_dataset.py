@@ -115,6 +115,9 @@ def test_repcount_defects(repcount_root):
         # end < start
         {"name": "badorder.mp4", "class_": "squat", "split": "train",
          "count": 1, "reps": "9 5", "vid": "y", "start": 0, "end": 1},
+        # cross-pair violation: rep 2 starts before rep 1 ends
+        {"name": "overlap.mp4", "class_": "squat", "split": "train",
+         "count": 2, "reps": "3 10 5 20", "vid": "y", "start": 0, "end": 1},
         # media missing entirely
         {"name": "nomedia.mp4", "class_": "squat", "split": "train",
          "count": 1, "reps": "1 2", "vid": "y", "start": 0, "end": 1},
@@ -126,7 +129,7 @@ def test_repcount_defects(repcount_root):
         repcount_root / "annotation.csv")
     # every defect row except nomedia gets media so only its own defect fires
     for split, name in (("train", "badcount"), ("train", "badorder"),
-                        ("val", "farbound")):
+                        ("train", "overlap"), ("val", "farbound")):
         d = repcount_root / "rawframes" / split / name
         d.mkdir(parents=True)
         for k in range(1, 25):
@@ -134,7 +137,8 @@ def test_repcount_defects(repcount_root):
     issues = validate_repcount(str(repcount_root))
     msgs = [i.message for i in issues]
     assert any("!= " in m and "rep pairs" in m for m in msgs)
-    assert any("end 5 < start 9" in m for m in msgs)
+    assert any("rep end 5 precedes boundary 9" in m for m in msgs)
+    assert any("next rep start 5 precedes boundary 10" in m for m in msgs)
     assert any("neither video file nor rawframe dir" in m for m in msgs)
     warn = [i for i in issues if i.severity == "warning"]
     assert any("beyond total_frames" in i.message for i in warn)

@@ -286,6 +286,11 @@ class DataConfig(ConfigNode):
     # (ops/augment.py): the host ships (scale_size, scale_size) uint8
     # canvases and the TPU does the geometric augmentation
     device_augment: bool = False
+    # rawframe JPEG test-transform geometry fused into the native decode
+    # (native/jpeg.cc: DCT prescale + bilinear; drift bounds in
+    # tests/test_jpeg.py). false = exact host pixels (full decode +
+    # INTER_AREA), e.g. when bit-matching scores across runs.
+    native_prep: bool = True
     train: SplitConfig = field(default_factory=SplitConfig)
     val: SplitConfig = field(default_factory=SplitConfig)
     test: SplitConfig = field(default_factory=SplitConfig)

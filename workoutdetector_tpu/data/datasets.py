@@ -43,6 +43,7 @@ def _prepped_params(transform) -> Optional[Tuple[int, int]]:
     short→scale + center-crop; no person crop), else None."""
     from workoutdetector_tpu.data.transforms import TestTransform
     if (type(transform) is TestTransform and transform.person_crop is None
+            and getattr(transform, "in_decoder", True)
             and transform.scale >= transform.size):
         return transform.scale, transform.size
     return None
@@ -467,7 +468,8 @@ def build_dataset(cfg: DataConfig, split: str):
     transform = build_transform(split, person_crop=person_crop,
                                 size=cfg.image_size, scale=cfg.scale_size,
                                 device_augment=getattr(cfg, "device_augment",
-                                                       False))
+                                                       False),
+                                native_prep=getattr(cfg, "native_prep", True))
     if cfg.dataset_type == "FrameDataset":
         return FrameDataset(data_root=cfg.data_root,
                             anno_path=split_cfg.anno,

@@ -43,9 +43,6 @@ def _load() -> Optional[ctypes.CDLL]:
         ip = ctypes.POINTER(ctypes.c_int)
         lib.wdj_dims.argtypes = [ctypes.c_char_p, ip, ip]
         lib.wdj_dims.restype = ctypes.c_int
-        lib.wdj_decode_file.argtypes = [
-            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_long, ip, ip]
-        lib.wdj_decode_file.restype = ctypes.c_int
         lib.wdj_decode_mem.argtypes = [
             ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
             ip, ip]
@@ -70,19 +67,19 @@ def _is_jpeg(path: str) -> bool:
 
 def read_image(path: str) -> Optional[np.ndarray]:
     """Full-resolution RGB uint8 (H, W, 3) via libjpeg, or None when the
-    native path can't take this file (caller falls back to cv2)."""
+    native path can't take this file (caller falls back to cv2 — which
+    also covers EXIF-rotated JPEGs: the C decoder rejects them so cv2's
+    orientation handling applies). One disk read: the bytes feed both
+    the dims probe and the decode."""
     lib = _load()
     if lib is None or not _is_jpeg(path):
         return None
-    h = ctypes.c_int()
-    w = ctypes.c_int()
-    if lib.wdj_dims(path.encode(), ctypes.byref(h), ctypes.byref(w)) != 0:
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
         return None
-    out = np.empty((h.value, w.value, 3), dtype=np.uint8)
-    rc = lib.wdj_decode_file(path.encode(),
-                             out.ctypes.data_as(ctypes.c_void_p),
-                             out.nbytes, ctypes.byref(h), ctypes.byref(w))
-    return out if rc == 0 else None
+    return decode_bytes(data)
 
 
 def decode_bytes(data: bytes) -> Optional[np.ndarray]:

@@ -162,10 +162,15 @@ class TestTransform:
     __test__ = False  # not a pytest class
 
     def __init__(self, size: int = INPUT_SIZE, scale: int = SCALE_SIZE,
-                 person_crop=None):
+                 person_crop=None, in_decoder: bool = True):
         self.size = size
         self.scale = scale
         self.person_crop = person_crop
+        # allow the rawframe datasets to produce this geometry inside the
+        # native JPEG decode (DCT prescale + bilinear instead of full
+        # decode + INTER_AREA; drift bounds in tests/test_jpeg.py).
+        # cfg.data.native_prep=false pins the exact host pixels.
+        self.in_decoder = in_decoder
 
     def __call__(self, clip: np.ndarray,
                  rng: Optional[np.random.Generator] = None) -> np.ndarray:
@@ -179,14 +184,19 @@ class TestTransform:
 
 
 def build_transform(split: str, person_crop=None, size: int = INPUT_SIZE,
-                    scale: int = SCALE_SIZE, device_augment: bool = False):
+                    scale: int = SCALE_SIZE, device_augment: bool = False,
+                    native_prep: bool = True):
     """Factory mirroring reference build.py:71-86.
 
     With ``device_augment`` the train split only letterboxes frames to a
     fixed (scale, scale) uint8 canvas here; MultiScaleCrop + flip run on
-    device inside the jitted train step (ops/augment.py)."""
+    device inside the jitted train step (ops/augment.py).
+    ``native_prep=False`` forbids fusing this geometry into the native
+    JPEG decode (rawframe datasets then always resize on host)."""
     if split == "train":
         if device_augment:
-            return TestTransform(size=scale, scale=scale)
+            return TestTransform(size=scale, scale=scale,
+                                 in_decoder=native_prep)
         return TrainTransform(size=size)
-    return TestTransform(size=size, scale=scale, person_crop=person_crop)
+    return TestTransform(size=size, scale=scale, person_crop=person_crop,
+                         in_decoder=native_prep)

@@ -52,8 +52,14 @@ def create_mesh(devices: Optional[Sequence[jax.Device]] = None,
         # 'slice' axis really is the DCN boundary; stable-sort keeps the
         # intra-slice device order (ICI neighbors stay adjacent)
         slice_ids = [getattr(d, "slice_index", None) for d in devices]
-        if all(s is not None for s in slice_ids) and \
-                len(set(slice_ids)) == slices:
+        if all(s is not None for s in slice_ids):
+            # real multi-slice hardware: the requested slice count MUST
+            # match the topology — silently chunking across it would put
+            # ICI-assumed axes (data/model collectives) on the DCN link
+            assert len(set(slice_ids)) == slices, (
+                f"hardware exposes {len(set(slice_ids))} slice(s) but "
+                f"slices={slices} requested; the 'slice' axis must sit on "
+                f"the real DCN boundary")
             devices = sorted(devices, key=lambda d: d.slice_index)
         if data == -1:
             assert per % model == 0, \

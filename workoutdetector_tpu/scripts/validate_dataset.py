@@ -49,22 +49,23 @@ class Issue:
 
 
 def _probe_jpeg(path: str, full: bool) -> Optional[str]:
-    """None if the file parses as an image, else a reason string."""
+    """None if the file parses as an image, else a reason string.
+
+    Mirrors the loader's fallback chain: a file the native decoder
+    rejects (CMYK, EXIF-rotated) but cv2 can read trains fine, so it
+    must pass pre-flight too."""
     from workoutdetector_tpu.data import jpeg as njpeg
     if njpeg.native_available() and path.lower().endswith((".jpg", ".jpeg")):
-        if full:
-            return None if njpeg.read_image(path) is not None else "decode failed"
-        import ctypes
-        lib = njpeg._load()
-        h = ctypes.c_int()
-        w = ctypes.c_int()
-        rc = lib.wdj_dims(path.encode(), ctypes.byref(h), ctypes.byref(w))
-        if rc != 0:
-            return "JPEG header unreadable"
-        if h.value <= 0 or w.value <= 0:
-            return f"degenerate dims {h.value}x{w.value}"
-        return None
-    # fallback: cv2 full decode (no cheap header probe)
+        if not full:
+            import ctypes
+            lib = njpeg._load()
+            h = ctypes.c_int()
+            w = ctypes.c_int()
+            rc = lib.wdj_dims(path.encode(), ctypes.byref(h), ctypes.byref(w))
+            if rc == 0 and h.value > 0 and w.value > 0:
+                return None
+        elif njpeg.read_image(path) is not None:
+            return None
     import cv2
     return None if cv2.imread(path) is not None else "decode failed"
 
@@ -149,10 +150,15 @@ def validate_repcount(data_root: str,
             issues.append(Issue(
                 "error", name,
                 f"count {item.count} != {len(item.reps) // 2} rep pairs"))
-        for s, e in zip(item.reps[::2], item.reps[1::2]):
-            if e < s:
-                issues.append(Issue("error", name, f"rep end {e} < start {s}"))
-                break
+        # full monotonic ordering (reference invariant, not just per-pair):
+        # s1 <= e1 <= s2 <= e2 <= ... — report every violation
+        for j in range(len(item.reps) - 1):
+            a, b = item.reps[j], item.reps[j + 1]
+            if b < a:
+                kind = ("rep end" if j % 2 == 0 else "next rep start")
+                issues.append(Issue(
+                    "error", name,
+                    f"{kind} {b} precedes boundary {a} (position {j + 1})"))
         if item.reps and item.total_frames > 0 and \
                 max(item.reps) >= item.total_frames + 2:
             # +2: annotation indices are known to overshoot by one on some

@@ -56,9 +56,15 @@ def decode_data_url(text: str) -> Optional[np.ndarray]:
         return None
     try:
         b64 = text.split(",", 1)[1]
+        raw = b64decode(b64)
+        # JPEG frames take the native libjpeg path (no PIL detour);
+        # webp/png/EXIF-rotated fall through to PIL
+        from workoutdetector_tpu.data.jpeg import decode_bytes
+        img = decode_bytes(raw)
+        if img is not None:
+            return img
         from PIL import Image
-        img = Image.open(io.BytesIO(b64decode(b64)))
-        return np.asarray(img.convert("RGB"))
+        return np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
     except Exception as e:
         log.warning("dropping undecodable frame: %s", e)
         return None
