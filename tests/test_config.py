@@ -68,3 +68,23 @@ def test_clone_independent():
     c2 = cfg.clone()
     c2.model.num_class = 99
     assert cfg.model.num_class != 99
+
+
+def test_all_shipped_configs_load_and_dispatch():
+    """Every YAML under workoutdetector_tpu/configs/ must load through the
+    typed schema and name a model type the factory knows (covers the
+    reference's full experiment-config family, incl. the per-action
+    pull_up.yaml / situp_mid.yaml ConvNeXt configs)."""
+    import glob
+    import os
+
+    from workoutdetector_tpu import settings
+    from workoutdetector_tpu.models.factory import build_model
+
+    cfg_dir = os.path.join(os.path.dirname(settings.__file__), "configs")
+    paths = sorted(glob.glob(os.path.join(cfg_dir, "*.yaml")))
+    assert len(paths) >= 12
+    for p in paths:
+        cfg = load_config(p)
+        model = build_model(cfg.model)  # raises on unknown type/backbone
+        assert model is not None, p

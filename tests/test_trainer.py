@@ -155,6 +155,75 @@ def test_resume_continues_epoch_budget(tmp_path):
     assert int(state3.step) == steps_full + (16 // 8)
 
 
+def test_loader_start_batch_skips_exactly():
+    """set_epoch(e, start_batch=k) yields exactly the batches an
+    uninterrupted pass yields from position k on, bit-for-bit — the basis
+    of exact mid-epoch resume (no skipped-batch decode cost either: the
+    producer never fetches them)."""
+    from workoutdetector_tpu.data.loader import DataLoader
+
+    class Toy:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, idx, rng):
+            # rng-dependent payload so rng misalignment would be caught
+            return (np.full((2, 2), idx, np.uint8) +
+                    rng.integers(0, 100, (2, 2), dtype=np.uint8), idx)
+
+    loader = DataLoader(Toy(), batch_size=4, shuffle=True, num_workers=2,
+                        seed=3)
+    loader.set_epoch(1)
+    full = list(loader)
+    loader.set_epoch(1, start_batch=2)
+    tail = list(loader)
+    assert len(full) == 3 and len(tail) == 1
+    np.testing.assert_array_equal(full[2][0], tail[0][0])
+    np.testing.assert_array_equal(full[2][1], tail[0][1])
+    # out-of-range start yields nothing (resume at an epoch boundary)
+    loader.set_epoch(1, start_batch=7)
+    assert list(loader) == []
+
+
+def test_resume_mid_epoch_exact(tmp_path):
+    """A run stopped MID-epoch (max_steps here; preemption in real life)
+    and resumed must be bit-identical to the uninterrupted run: the loader
+    skips the already-trained batches and every step rng folds state.step,
+    so params after resume == params of the straight-through run."""
+    cfg = small_cfg(tmp_path)
+    cfg.trainer.max_epochs = 2
+    trainer = Trainer(cfg)
+    state_full, _ = trainer.fit(ckpt_dir=str(tmp_path / "full"))
+    steps_per_epoch = 16 // 8
+    assert int(state_full.step) == 2 * steps_per_epoch
+
+    # stop 1 step into epoch 1
+    cfg2 = small_cfg(tmp_path)
+    cfg2.trainer.max_epochs = 2
+    cfg2.trainer.max_steps = steps_per_epoch + 1
+    ckpt_dir = str(tmp_path / "interrupted")
+    trainer2 = Trainer(cfg2)
+    state_mid, _ = trainer2.fit(ckpt_dir=ckpt_dir)
+    assert int(state_mid.step) == steps_per_epoch + 1
+
+    cfg3 = small_cfg(tmp_path)
+    cfg3.trainer.max_epochs = 2
+    cfg3.trainer.resume_from_checkpoint = os.path.join(ckpt_dir, "last")
+    trainer3 = Trainer(cfg3)
+    state_res, _ = trainer3.fit(ckpt_dir=str(tmp_path / "resumed"))
+    assert int(state_res.step) == 2 * steps_per_epoch
+
+    flat_full = jax.tree_util.tree_leaves_with_path(state_full.params)
+    flat_res = jax.tree_util.tree_leaves_with_path(state_res.params)
+    for (pf, lf), (pr, lr_) in zip(flat_full, flat_res):
+        assert pf == pr
+        np.testing.assert_array_equal(np.asarray(lf), np.asarray(lr_),
+                                      err_msg=str(pf))
+    for sf, sr in zip(jax.tree_util.tree_leaves(state_full.batch_stats),
+                      jax.tree_util.tree_leaves(state_res.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(sf), np.asarray(sr))
+
+
 def test_eval_keeps_tail_partial_batch(tmp_path):
     """drop_last=False eval: a val split not divisible by batch_size must
     still count EVERY sample (the tail batch is padded with label -1 and

@@ -53,14 +53,24 @@ class DataLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.epoch = 0
+        self.start_batch = 0
 
     def __len__(self) -> int:
         if self.drop_last:
             return len(self.dataset) // self.batch_size
         return -(-len(self.dataset) // self.batch_size)
 
-    def set_epoch(self, epoch: int) -> None:
+    def set_epoch(self, epoch: int, start_batch: int = 0) -> None:
+        """Position the next iteration pass.
+
+        ``start_batch`` skips the first batches of the epoch WITHOUT
+        decoding them — exact mid-epoch resume: the epoch's batch order
+        and every per-item rng depend only on (seed, epoch, idx), so the
+        batches actually yielded are bit-identical to the ones an
+        uninterrupted pass would produce at the same positions.
+        """
         self.epoch = epoch
+        self.start_batch = start_batch
 
     def _item_rng(self, idx: int) -> np.random.Generator:
         return np.random.default_rng(
@@ -84,7 +94,7 @@ class DataLoader:
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for b in range(n_batches):
+                    for b in range(min(self.start_batch, n_batches), n_batches):
                         if stop.is_set():
                             return
                         idxs = order[b * self.batch_size:(b + 1) * self.batch_size]

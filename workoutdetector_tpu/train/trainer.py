@@ -377,11 +377,21 @@ class Trainer:
         # older runs (no epoch in meta) resume correctly as well.
         start_epoch = 0 if cfg.trainer.fast_dev_run else \
             min(global_step // steps_per_epoch, max_epochs)
+        # exact MID-epoch resume: a run stopped at step s (preemption or
+        # max_steps) resumes at batch s % steps_per_epoch of its epoch —
+        # the loader skips the already-trained batches without decoding
+        # them, and because every rng in the step folds state.step (and
+        # the loader's per-item rng folds (seed, epoch, idx)) the resumed
+        # run is bit-identical to the uninterrupted one
+        # (tests/test_trainer.py::test_resume_mid_epoch_exact)
+        resume_skip = 0 if cfg.trainer.fast_dev_run else \
+            global_step % steps_per_epoch
         from workoutdetector_tpu.utils.profiling import StepTimer
         timer = StepTimer()
         profiling = False
         for epoch in range(start_epoch, max_epochs):
-            train_loader.set_epoch(epoch)
+            train_loader.set_epoch(
+                epoch, start_batch=resume_skip if epoch == start_epoch else 0)
             # device prefetch: batch k+1's H2D overlaps batch k's compute
             for bx, by in prefetch_to_device(iter(train_loader), self.mesh):
                 # trace steps [2, 2 + profile_steps): step 1 pays compile
