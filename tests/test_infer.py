@@ -219,3 +219,85 @@ def test_zero_frame_video_has_no_windows():
     # windows_for_video uses no engine state
     assert len(InferenceEngine.windows_for_video(None, 0)) == 0
     assert list(InferenceEngine.windows_for_video(None, 9)) == [0, 8]
+
+
+def test_sharded_eval_matches_full(engine, tmp_path):
+    """Pod-scale sharded eval: N workers with shard=(i, n) produce
+    disjoint partial metrics whose merge (eval_count_shards) is
+    bit-identical to the single-process eval of the whole split."""
+    import pandas as pd
+
+    from workoutdetector_tpu.infer import eval_count_shards
+
+    data_root = tmp_path / "RepCount"
+    (data_root / "videos" / "val").mkdir(parents=True)
+    counts = [3, 1, 2]
+    names = []
+    for i, c in enumerate(counts):
+        name = f"v{i}.mp4"
+        _write_video(data_root / "videos" / "val" / name, [20, 235] * c)
+        names.append(name)
+    anno = pd.DataFrame({
+        "name": names,
+        "class_": ["squat"] * 3,
+        "split": ["val"] * 3,
+        "count": counts,
+        "reps": [" ".join(str(48 * k) for k in range(2 * c)) for c in counts],
+        "vid": list("xyz"), "start": [0] * 3, "end": [0] * 3,
+    })
+    anno.to_csv(data_root / "annotation.csv")
+
+    kw = dict(action=["squat"], split="val", data_root=str(data_root),
+              model_type="video")
+    mae_full, obo_full = eval_dataset(engine, **kw)
+
+    partials = []
+    files = []
+    for i in range(2):
+        f = str(tmp_path / f"counts_{i}.json")
+        partials.append(eval_dataset(engine, shard=(i, 2), counts_out=f, **kw))
+        files.append(f)
+    # partial metrics are additive (full-split denominator on every shard)
+    assert sum(p[0] for p in partials) == pytest.approx(mae_full)
+    assert sum(p[1] for p in partials) == pytest.approx(obo_full)
+    # merged counts give the exact global metrics in one call
+    mae_m, obo_m, res = eval_count_shards(files, str(data_root),
+                                          action=["squat"], split=["val"])
+    assert mae_m == pytest.approx(mae_full)
+    assert obo_m == pytest.approx(obo_full)
+    assert set(res.keys()) == set(names)
+    # overlapping shards are rejected
+    with pytest.raises(ValueError, match="overlap"):
+        eval_count_shards([files[0], files[0]], str(data_root),
+                          action=["squat"], split=["val"])
+
+
+def test_sharded_inference_dataset_is_disjoint_union(engine, tmp_path):
+    """inference_dataset shards write disjoint score JSONs into a shared
+    out_dir; the union equals the unsharded run's output set."""
+    import pandas as pd
+    data_root = tmp_path / "RepCount"
+    (data_root / "videos" / "val").mkdir(parents=True)
+    names = [f"s{i}.mp4" for i in range(3)]
+    for name in names:
+        _write_video(data_root / "videos" / "val" / name, [20, 235])
+    anno = pd.DataFrame({
+        "name": names, "class_": ["squat"] * 3, "split": ["val"] * 3,
+        "count": [1] * 3, "reps": ["0 48"] * 3,
+        "vid": list("abc"), "start": [0] * 3, "end": [0] * 3,
+    })
+    anno.to_csv(data_root / "annotation.csv")
+    kw = dict(checkpoint="t", data_root=str(data_root),
+              anno_path=str(data_root / "annotation.csv"))
+
+    full_dir = tmp_path / "full"
+    inference_dataset(engine, ["val"], str(full_dir), **kw)
+
+    shard_dir = tmp_path / "sharded"
+    written = []
+    for i in range(2):
+        inference_dataset(engine, ["val"], str(shard_dir), shard=(i, 2), **kw)
+        now = set(os.listdir(shard_dir))
+        assert len(now) > len(written) or i == 1  # each shard adds files
+        written = now
+    assert set(os.listdir(shard_dir)) == set(os.listdir(full_dir))

@@ -292,6 +292,21 @@ def count_by_image_model(engine: InferenceEngine,
     return count, reps
 
 
+def _shard_items(items: List, shard: Tuple[int, int]) -> List:
+    """Deterministic disjoint shard of a video list: worker i of n takes
+    every n-th item of the name-sorted list. N pod workers each running
+    with ``shard=(i, n)`` cover a split exactly once with zero
+    coordination — dataset-scale scoring/eval parallelizes across hosts
+    the same way the reference parallelizes nothing (its eval loop is
+    strictly serial, utils/inference_count.py:424-512)."""
+    i, n = shard
+    if n <= 1:
+        return items
+    if not 0 <= i < n:
+        raise ValueError(f"shard index out of range: {shard}")
+    return sorted(items, key=lambda it: it.video_name)[i::n]
+
+
 def inference_dataset(engine: InferenceEngine,
                       splits: List[str],
                       out_dir: str,
@@ -300,13 +315,19 @@ def inference_dataset(engine: InferenceEngine,
                       anno_path: Optional[str] = None,
                       step: int = 8,
                       stride: int = 2,
-                      decode_workers: int = 2) -> None:
+                      decode_workers: int = 2,
+                      shard: Tuple[int, int] = (0, 1)) -> None:
     """Score every RepCount video → per-video ``.score.json``.
 
     JSON schema matches reference inference_dataset (:351-421):
     video_name / model / input_shape / checkpoint / total_frames /
     ground_truth / action / scores{start_frame: {class_id: score}}.
     Windows are the sparse 8-of-16 samples every 8 frames (:411-414).
+
+    ``shard=(i, n)`` scores only worker i's disjoint slice of the split
+    (see _shard_items); N workers writing into one shared ``out_dir``
+    produce exactly the single-process output, so counting.eval_score_dir
+    over the merged directory needs no extra step.
     """
     os.makedirs(out_dir, exist_ok=True)
     if data_root is None:
@@ -333,7 +354,7 @@ def inference_dataset(engine: InferenceEngine,
     # worker threads while the device scores video k (the north-star
     # overlap, SURVEY §7 step 4 / hard-part 4)
     from concurrent.futures import ThreadPoolExecutor
-    items = list(data.values())
+    items = _shard_items(list(data.values()), shard)
     if not items:
         return
     workers = max(1, decode_workers)
@@ -383,7 +404,9 @@ def eval_dataset(engine: InferenceEngine,
                  csv_name: Optional[str] = None,
                  save_video: bool = False,
                  threshold: float = 0.0,
-                 grid: bool = False) -> Tuple[float, float]:
+                 grid: bool = False,
+                 shard: Tuple[int, int] = (0, 1),
+                 counts_out: Optional[str] = None) -> Tuple[float, float]:
     """Per-video counting over a split → helper.eval_count MAE/OBO + CSV.
 
     Matches reference eval_dataset (:424-512). ``threshold`` flows to the
@@ -399,6 +422,13 @@ def eval_dataset(engine: InferenceEngine,
     features_only engine (input_rank=4). model_type='motion' evaluates
     the spatial-grid pixel-periodicity counter, which needs no engine at
     all (pass None).
+
+    Pod-scale eval: ``shard=(i, n)`` counts only worker i's disjoint
+    slice of the split. eval_count divides by the FULL split size either
+    way, so the returned (mae, obo) are additive partials — the global
+    metrics are the sums over shards, or pass each worker a
+    ``counts_out`` JSON path and merge exactly with
+    ``eval_count_shards``.
     """
     if anno_path is None:
         anno_path = os.path.join(data_root, "annotation.csv")
@@ -412,7 +442,8 @@ def eval_dataset(engine: InferenceEngine,
         # output_dir would write nothing without this
         os.makedirs(output_dir, exist_ok=True)
     pred_dict: Dict[str, int] = {}
-    for name, item in items.items():
+    for item in _shard_items(list(items.values()), shard):
+        name = item.video_name
         out_path = None
         if save_video and output_dir is not None:
             out_path = os.path.join(output_dir, name)
@@ -435,6 +466,9 @@ def eval_dataset(engine: InferenceEngine,
                                             video_out_path=out_path,
                                             threshold=threshold)
         pred_dict[name] = count
+    if counts_out is not None:
+        with open(counts_out, "w") as f:
+            json.dump(pred_dict, f)
     mae, obo_acc, eval_res = helper.eval_count(pred_dict, action=action,
                                                split=[split])
     if output_dir is not None:
@@ -446,9 +480,39 @@ def eval_dataset(engine: InferenceEngine,
             d.pop("frames_path", None)
             rows.append(d)
         if csv_name is None:
-            csv_name = f"eval_count_{model_type}_model.csv"
+            tag = f"_shard{shard[0]}of{shard[1]}" if shard[1] > 1 else ""
+            csv_name = f"eval_count_{model_type}_model{tag}.csv"
         if os.path.isfile(os.path.join(output_dir, csv_name)):
             csv_name = csv_name.split(".")[0] + "_" + str(time.time()) + ".csv"
         os.makedirs(output_dir, exist_ok=True)
         pd.DataFrame(rows).to_csv(os.path.join(output_dir, csv_name))
     return mae, obo_acc
+
+
+def eval_count_shards(counts_files: Sequence[str],
+                      data_root: str,
+                      anno_path: Optional[str] = None,
+                      action: Sequence[str] = ("all",),
+                      split: Sequence[str] = ("test",)
+                      ) -> Tuple[float, float, Dict]:
+    """Exact global MAE/OBO from per-shard count JSONs.
+
+    Each pod worker runs ``eval_dataset(..., shard=(i, n),
+    counts_out=f"counts_{i}.json")``; this merges the disjoint dicts and
+    runs RepcountHelper.eval_count once over the union — bit-identical
+    to a single-process eval of the whole split.
+    """
+    merged: Dict[str, int] = {}
+    for p in counts_files:
+        with open(p) as f:
+            d = json.load(f)
+        overlap = merged.keys() & d.keys()
+        if overlap:
+            raise ValueError(
+                f"shards overlap on {sorted(overlap)[:3]} — did two workers "
+                "run with the same shard index?")
+        merged.update(d)
+    if anno_path is None:
+        anno_path = os.path.join(data_root, "annotation.csv")
+    helper = RepcountHelper(data_root, anno_path)
+    return helper.eval_count(merged, action=list(action), split=list(split))
