@@ -216,6 +216,92 @@ def test_two_process_slice_mesh(tmp_path):
         assert f"OK-SLICE {i}" in out, out
 
 
+WORKER_LOADER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+port, pid = sys.argv[1], int(sys.argv[2])
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=pid)
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+sys.path.insert(0, sys.argv[3])
+from workoutdetector_tpu.data.loader import DataLoader
+from workoutdetector_tpu.parallel.mesh import create_mesh, shard_batch
+
+class Toy:
+    def __len__(self):
+        return 16
+    def __getitem__(self, idx, rng):
+        return (np.full((3,), idx, np.uint8) +
+                rng.integers(0, 100, (3,), dtype=np.uint8), idx)
+
+mesh = create_mesh(model=1)
+# THE trainer feed: each process loads only its block of the global batch
+ld = DataLoader(Toy(), batch_size=8, shuffle=True, num_workers=2, seed=5,
+                shard_id=jax.process_index(),
+                num_shards=jax.process_count())
+ld.set_epoch(1)
+# the single-host ground truth, computed identically in both processes
+ref = DataLoader(Toy(), batch_size=8, shuffle=True, num_workers=2, seed=5)
+ref.set_epoch(1)
+for (lx, ly), (fx, fy) in zip(ld, ref):
+    assert lx.shape == (4, 3)  # local block = global/2
+    gx, gy = shard_batch((lx, ly), mesh)
+    assert gx.shape == (8, 3) and gy.shape == (8,)
+    # position-weighted checksums prove content AND ordering of the
+    # assembled global array match the single-host batch
+    wx = (np.arange(fx.size, dtype=np.float32) + 1).reshape(fx.shape)
+    wy = np.arange(8, dtype=np.float32) + 1
+    cks = jax.jit(
+        lambda x, y: (jnp.sum(x.astype(jnp.float32) * wx),
+                      jnp.sum(y.astype(jnp.float32) * wy)),
+        in_shardings=(NamedSharding(mesh, P("data")),
+                      NamedSharding(mesh, P("data"))),
+        out_shardings=NamedSharding(mesh, P()))(gx, gy)
+    assert float(cks[0]) == float((fx.astype(np.float32) * wx).sum())
+    assert float(cks[1]) == float((fy.astype(np.float32) * wy).sum())
+print(f"OK-LOADER {pid}")
+"""
+
+
+def test_two_process_sharded_loader_feed(tmp_path):
+    """The full multi-host input pipeline: two real processes each run
+    the process-sharded DataLoader (trainer._loader wiring) and feed
+    their local blocks through shard_batch; the assembled global batch
+    is bit-identical (position-weighted checksum) to the single-host
+    loader's output."""
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen([sys.executable, "-c", WORKER_LOADER, str(port),
+                          str(i), repo],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         env=env, cwd=str(tmp_path))
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("sharded-loader multi-process workers timed out")
+        outs.append(out.decode())
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert f"OK-LOADER {i}" in out, out
+
+
 def test_two_process_fsdp_param_layout(tmp_path):
     """FSDP across HOSTS: a param sharded over 'data' spans two real
     processes (4 shards each), and a jitted matmul over the global mesh

@@ -185,6 +185,59 @@ def test_loader_start_batch_skips_exactly():
     assert list(loader) == []
 
 
+def test_loader_process_sharding_matches_global():
+    """Multi-host data sharding (torch DistributedSampler role): the
+    shard loaders' blocks, concatenated in process order, must equal the
+    single-host loader's global batches bit-for-bit — for both drop_last
+    modes (pads stay at the global batch tail because the real prefix is
+    contiguous), composing with set_epoch/start_batch."""
+    from workoutdetector_tpu.data.loader import DataLoader
+
+    class Toy:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, idx, rng):
+            return (np.full((3,), idx, np.uint8) +
+                    rng.integers(0, 100, (3,), dtype=np.uint8), idx)
+
+    def batches(n, start=0, **kw):
+        ld = DataLoader(Toy(n), batch_size=4, shuffle=True, num_workers=2,
+                        seed=5, **kw)
+        ld.set_epoch(2, start_batch=start)
+        return list(ld)
+
+    # n=9 leaves shard 1's tail block ALL pad (probes _item_shape);
+    # n=11 splits the tail's real rows across both shards
+    for n in (8, 9, 11):
+        for drop_last in (True, False):
+            full = batches(n, drop_last=drop_last)
+            sh = [batches(n, drop_last=drop_last, shard_id=p, num_shards=2)
+                  for p in range(2)]
+            assert len(sh[0]) == len(sh[1]) == len(full)
+            for b in range(len(full)):
+                gx = np.concatenate([sh[0][b][0], sh[1][b][0]])
+                gy = np.concatenate([sh[0][b][1], sh[1][b][1]])
+                np.testing.assert_array_equal(gx, full[b][0],
+                                              err_msg=f"n={n} b={b}")
+                np.testing.assert_array_equal(gy, full[b][1])
+    # mid-epoch resume composes: every shard skips the same global batches
+    tail_full = batches(11, start=1, drop_last=True)
+    tail_sh = [batches(11, start=1, drop_last=True, shard_id=p, num_shards=2)
+               for p in range(2)]
+    assert len(tail_full) == len(tail_sh[0]) == 1
+    np.testing.assert_array_equal(
+        np.concatenate([tail_sh[0][0][0], tail_sh[1][0][0]]), tail_full[0][0])
+
+    with pytest.raises(ValueError, match="divisible"):
+        DataLoader(Toy(8), batch_size=6, num_shards=4)
+    with pytest.raises(ValueError, match="shard_id"):
+        DataLoader(Toy(8), batch_size=8, shard_id=2, num_shards=2)
+
+
 def test_resume_mid_epoch_exact(tmp_path):
     """A run stopped MID-epoch (max_steps here; preemption in real life)
     and resumed must be bit-identical to the uninterrupted run: the loader

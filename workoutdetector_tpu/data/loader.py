@@ -35,6 +35,19 @@ class DataLoader:
             consumers must mask y < 0 (the eval step does). The reference
             evaluates with drop_last=False; silently dropping up to
             batch_size-1 val samples would skew accuracy.
+        shard_id / num_shards: multi-HOST data sharding (the torch
+            DistributedSampler role): ``batch_size`` stays the GLOBAL
+            batch; process p yields only its contiguous
+            batch_size/num_shards sub-block of every global batch, in
+            process order — exactly the local slice
+            parallel.mesh.shard_batch feeds to
+            jax.make_array_from_process_local_data, so the assembled
+            global array is bit-identical to the single-host run.
+            Epoch order/rngs depend only on (seed, epoch, global idx),
+            never on the sharding, and every process sees the same
+            __len__/steps_per_epoch. On a padded tail batch each shard
+            pads its own block to size (pad rows carry label -1 and are
+            masked either way).
     """
 
     def __init__(self,
@@ -44,7 +57,14 @@ class DataLoader:
                  num_workers: int = 4,
                  seed: int = 0,
                  prefetch: int = 2,
-                 drop_last: bool = True):
+                 drop_last: bool = True,
+                 shard_id: int = 0,
+                 num_shards: int = 1):
+        if not 0 <= shard_id < num_shards:
+            raise ValueError(f"shard_id {shard_id} not in [0, {num_shards})")
+        if batch_size % num_shards:
+            raise ValueError(f"global batch {batch_size} not divisible by "
+                             f"{num_shards} host shards")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -52,8 +72,12 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.local_batch = batch_size // num_shards
         self.epoch = 0
         self.start_batch = 0
+        self._probe_shape: Optional[Tuple[Tuple[int, ...], Any]] = None
 
     def __len__(self) -> int:
         if self.drop_last:
@@ -80,6 +104,16 @@ class DataLoader:
         item = self.dataset.__getitem__(int(idx), self._item_rng(int(idx)))
         return item
 
+    def _item_shape(self) -> Tuple[Tuple[int, ...], Any]:
+        """Per-item (shape, dtype), probed from item 0 if no batch has
+        established it yet (only needed when a shard's very first yielded
+        block is all-pad)."""
+        if self._probe_shape is None:
+            x0, _ = self._fetch(0)
+            x0 = np.asarray(x0)
+            self._probe_shape = (x0.shape, x0.dtype)
+        return self._probe_shape
+
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         n = len(self.dataset)
         order = np.arange(n)
@@ -97,11 +131,25 @@ class DataLoader:
                     for b in range(min(self.start_batch, n_batches), n_batches):
                         if stop.is_set():
                             return
-                        idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                        # this process's contiguous block of global batch b
+                        lo = b * self.batch_size + self.shard_id * self.local_batch
+                        hi = min(lo + self.local_batch,
+                                 min((b + 1) * self.batch_size, n))
+                        idxs = order[lo:hi] if hi > lo else order[:0]
                         items = list(pool.map(self._fetch, idxs))
-                        xs = np.stack([it[0] for it in items])
-                        ys = np.asarray([it[1] for it in items], dtype=np.int32)
-                        pad = self.batch_size - len(items)
+                        if items:
+                            xs = np.stack([it[0] for it in items])
+                            ys = np.asarray([it[1] for it in items],
+                                            dtype=np.int32)
+                            if self._probe_shape is None:
+                                self._probe_shape = (xs.shape[1:], xs.dtype)
+                        else:
+                            # a tail batch can leave a later shard empty;
+                            # its block is all pad rows of the item shape
+                            shp, dt = self._item_shape()
+                            xs = np.zeros((0,) + shp, dt)
+                            ys = np.zeros((0,), np.int32)
+                        pad = self.local_batch - len(items)
                         if pad:  # tail batch (drop_last=False): keep the
                             # compiled shape, mark pad rows with label -1
                             xs = np.concatenate(

@@ -292,7 +292,13 @@ class Trainer:
                           # train drops the tail for one static shape per
                           # run; eval keeps every sample via the padded
                           # tail batch (reference drop_last=False)
-                          drop_last=(split == "train"))
+                          drop_last=(split == "train"),
+                          # multi-host: each process loads only its
+                          # contiguous block of the global batch — the
+                          # local slice shard_batch feeds to
+                          # make_array_from_process_local_data
+                          shard_id=jax.process_index(),
+                          num_shards=jax.process_count())
 
     def evaluate(self, state: TrainState, loader: DataLoader) -> Dict[str, float]:
         eval_step = self.eval_step_fn()
