@@ -52,12 +52,19 @@ def create_mesh(devices: Optional[Sequence[jax.Device]] = None,
         # 'slice' axis really is the DCN boundary; stable-sort keeps the
         # intra-slice device order (ICI neighbors stay adjacent)
         slice_ids = [getattr(d, "slice_index", None) for d in devices]
-        if all(s is not None for s in slice_ids):
+        distinct = {s for s in slice_ids if s is not None}
+        if all(s is not None for s in slice_ids) and len(distinct) > 1:
             # real multi-slice hardware: the requested slice count MUST
             # match the topology — silently chunking across it would put
-            # ICI-assumed axes (data/model collectives) on the DCN link
-            assert len(set(slice_ids)) == slices, (
-                f"hardware exposes {len(set(slice_ids))} slice(s) but "
+            # ICI-assumed axes (data/model collectives) on the DCN link.
+            # A single distinct id is NOT informative: CPU backends
+            # report slice_index=0 on every device of every process
+            # (observed jax 0.9 two-process sim), so only enforce when
+            # the backend distinguishes slices at all; otherwise fall
+            # through to contiguous chunking, which groups by process —
+            # the actual DCN boundary in multi-process simulations.
+            assert len(distinct) == slices, (
+                f"hardware exposes {len(distinct)} slice(s) but "
                 f"slices={slices} requested; the 'slice' axis must sit on "
                 f"the real DCN boundary")
             devices = sorted(devices, key=lambda d: d.slice_index)
