@@ -301,3 +301,50 @@ def test_sharded_inference_dataset_is_disjoint_union(engine, tmp_path):
         assert len(now) > len(written) or i == 1  # each shard adds files
         written = now
     assert set(os.listdir(shard_dir)) == set(os.listdir(full_dir))
+
+
+def test_inference_count_cli(engine, tmp_path, capsys, monkeypatch):
+    """The dataset-level CLI (reference utils/inference_count.py
+    parse_args+main): sharded --eval workers, --merge-shards global
+    metrics, and --score JSON output, all through argv."""
+    import pandas as pd
+
+    from workoutdetector_tpu.infer import engine as engine_mod
+    from workoutdetector_tpu.infer.inference_count import main as cli_main
+
+    data_root = tmp_path / "RepCount"
+    (data_root / "videos" / "val").mkdir(parents=True)
+    names = []
+    for i, c in enumerate([2, 1, 3]):
+        names.append(f"c{i}.mp4")
+        _write_video(data_root / "videos" / "val" / names[-1], [20, 235] * c)
+    pd.DataFrame({
+        "name": names, "class_": ["squat"] * 3, "split": ["val"] * 3,
+        "count": [2, 1, 3], "reps": ["0 48"] * 3,
+        "vid": list("abc"), "start": [0] * 3, "end": [0] * 3,
+    }).to_csv(data_root / "annotation.csv")
+
+    monkeypatch.setattr(engine_mod, "engine_from_checkpoint",
+                        lambda cfg, ckpt, **kw: engine)
+    base = ["--data-root", str(data_root), "--split", "val",
+            "--action", "squat"]
+    outs = []
+    files = []
+    for i in range(2):
+        f = str(tmp_path / f"counts_{i}.json")
+        cli_main(["--eval", "--shard", f"{i}/2", "--counts-out", f] + base)
+        outs.append(json.loads(capsys.readouterr().out.strip()))
+        files.append(f)
+    assert outs[0]["shard"] == [0, 2] and outs[1]["shard"] == [1, 2]
+
+    cli_main(["--merge-shards"] + files + base)
+    merged = json.loads(capsys.readouterr().out.strip())
+    assert merged["n_pred"] == 3
+    assert merged["mae"] == pytest.approx(0.0)
+    assert merged["obo_acc"] == pytest.approx(1.0)
+    assert merged["mae"] == pytest.approx(sum(o["mae"] for o in outs))
+
+    score_dir = tmp_path / "cli_scores"
+    cli_main(["--score", str(score_dir)] + base)
+    assert sorted(os.listdir(score_dir)) == sorted(n + ".score.json"
+                                                   for n in names)

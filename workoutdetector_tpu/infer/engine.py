@@ -290,3 +290,40 @@ class InferenceEngine:
     def score_clip(self, clip_u8: np.ndarray) -> np.ndarray:
         """Score one (T, H, W, C) window → (num_class,) logits."""
         return self.score_windows(clip_u8[None])[0]
+
+
+def engine_from_checkpoint(cfg,
+                           checkpoint: Optional[str] = None,
+                           image_size: Optional[int] = None,
+                           window_batch: Optional[int] = None,
+                           input_rank: Optional[int] = None
+                           ) -> "InferenceEngine":
+    """One engine-loading path for every CLI/serving surface: a ``.jaxm``
+    deployment artifact (reference loads ``.onnx``, demo.py:62-72) or a
+    fresh model init plus optional orbax checkpoint restore."""
+    if checkpoint and checkpoint.endswith(".jaxm"):
+        return InferenceEngine.from_exported(checkpoint)
+    from workoutdetector_tpu.models.factory import build_model, example_input
+    model = build_model(cfg.model)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        example_input(cfg.model, image_size=image_size or cfg.data.image_size),
+        train=False)
+    if checkpoint:
+        import os
+
+        from workoutdetector_tpu.train.checkpoint import CheckpointManager
+        mgr = CheckpointManager(os.path.dirname(checkpoint) or ".")
+        restored = mgr.restore_variables(checkpoint)
+        variables = {"params": restored["params"],
+                     "batch_stats": restored.get(
+                         "batch_stats", variables.get("batch_stats", {}))}
+    kwargs = {}
+    if image_size is not None:
+        kwargs["image_size"] = image_size
+    if window_batch is not None:
+        kwargs["window_batch"] = window_batch
+    if input_rank is not None:
+        kwargs["input_rank"] = input_rank
+    return InferenceEngine(model, variables,
+                           num_segments=cfg.model.num_segments, **kwargs)

@@ -516,3 +516,111 @@ def eval_count_shards(counts_files: Sequence[str],
         anno_path = os.path.join(data_root, "annotation.csv")
     helper = RepcountHelper(data_root, anno_path)
     return helper.eval_count(merged, action=list(action), split=list(split))
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    """Dataset-level scoring/eval CLI (reference utils/inference_count.py
+    parse_args+main, :515-595) with pod-scale sharding.
+
+    Modes:
+      --score OUT_DIR   score a split → per-video .score.json
+                        (inference_dataset)
+      --eval            count + MAE/OBO over a split (eval_dataset);
+                        prints one JSON line
+      --merge-shards F1 F2 ...  merge per-shard counts JSONs →
+                        exact global metrics (no engine/device needed)
+    Worker i of an n-host pod passes --shard i/n to either mode.
+    """
+    import argparse
+
+    from workoutdetector_tpu.config import load_config
+
+    parser = argparse.ArgumentParser(
+        description="Dataset scoring / rep-count evaluation")
+    parser.add_argument("-ckpt", "--checkpoint", default=None,
+                        help="orbax checkpoint dir or .jaxm artifact")
+    parser.add_argument("--cfg", default=None)
+    parser.add_argument("--model-type", default="video",
+                        choices=["video", "image", "similarity", "motion",
+                                 "repnet"])
+    parser.add_argument("--action", default="all")
+    parser.add_argument("--split", default="test")
+    parser.add_argument("--data-root", default=None)
+    parser.add_argument("--anno", default=None)
+    parser.add_argument("--score", default=None, metavar="OUT_DIR",
+                        help="write .score.json per video into OUT_DIR")
+    parser.add_argument("--eval", action="store_true",
+                        help="count per video and print MAE/OBO")
+    parser.add_argument("--threshold", type=float, default=0.0)
+    parser.add_argument("-o", "--output-dir", default=None,
+                        help="eval: per-video CSV (and annotated videos "
+                             "with --save-video)")
+    parser.add_argument("--save-video", action="store_true")
+    parser.add_argument("--grid", action="store_true",
+                        help="repnet: also score quadrant crops")
+    parser.add_argument("--shard", default="0/1", metavar="I/N",
+                        help="this worker's slice of the split")
+    parser.add_argument("--counts-out", default=None,
+                        help="eval: write this shard's counts JSON here")
+    parser.add_argument("--merge-shards", nargs="+", default=None,
+                        metavar="JSON",
+                        help="merge counts JSONs → global metrics")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force CPU backend")
+    parser.add_argument("opts", nargs="*", help="dotted config overrides")
+    args = parser.parse_args(argv)
+
+    try:
+        i, n = map(int, args.shard.split("/"))
+    except ValueError:
+        parser.error(f"--shard must be I/N, got {args.shard!r}")
+    data_root = args.data_root or osp.expanduser("~/data/RepCount/")
+    anno_path = args.anno or osp.join(data_root, "annotation.csv")
+
+    if args.merge_shards:
+        mae, obo, res = eval_count_shards(args.merge_shards, data_root,
+                                          anno_path,
+                                          action=[args.action],
+                                          split=[args.split])
+        print(json.dumps({"mae": mae, "obo_acc": obo, "n_pred": len(res)}))
+        return
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    cfg = load_config(args.cfg, args.opts)
+    engine = None
+    if args.model_type != "motion":
+        from workoutdetector_tpu.infer.engine import engine_from_checkpoint
+        if args.model_type == "repnet":
+            cfg.model.model_type = "repnet"
+        # similarity counts from backbone features: a rank-4 engine over
+        # a features_only backbone (num_class=0 → feature head)
+        input_rank = 4 if args.model_type in ("image", "similarity") else None
+        if args.model_type == "similarity":
+            cfg.model.num_class = 0
+        engine = engine_from_checkpoint(cfg, args.checkpoint,
+                                        image_size=cfg.data.image_size,
+                                        input_rank=input_rank)
+
+    if args.score is not None:
+        inference_dataset(engine, [args.split], args.score,
+                          checkpoint=args.checkpoint or "none",
+                          data_root=data_root, anno_path=anno_path,
+                          shard=(i, n))
+        return
+    if not args.eval:
+        parser.error("pass --score OUT_DIR, --eval, or --merge-shards")
+    mae, obo = eval_dataset(engine, action=[args.action], split=args.split,
+                            data_root=data_root, anno_path=anno_path,
+                            model_type=args.model_type,
+                            output_dir=args.output_dir,
+                            save_video=args.save_video,
+                            threshold=args.threshold,
+                            grid=args.grid,
+                            shard=(i, n), counts_out=args.counts_out)
+    print(json.dumps({"mae": mae, "obo_acc": obo, "shard": [i, n]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -11,10 +11,7 @@ it, a CLI produces the same outputs (annotated video + JSON scores).
 from __future__ import annotations
 
 import json
-import os
 from typing import Dict, List, Optional, Tuple
-
-import numpy as np
 
 from workoutdetector_tpu.data.sampling import sample_frames
 from workoutdetector_tpu.data.video import VideoReader
@@ -82,7 +79,6 @@ def main() -> None:
     import jax
 
     from workoutdetector_tpu.config import load_config
-    from workoutdetector_tpu.models.factory import build_model, example_input
 
     parser = argparse.ArgumentParser(description="Workout demo (CLI fallback)")
     parser.add_argument("-i", "--video", required=True)
@@ -125,34 +121,12 @@ def main() -> None:
         cfg.model.num_class = len(WORKOUT_LABELS)
     def build_engine(image_size=None, window_batch=None):
         """One engine-loading path for every task: .jaxm artifact or
-        fresh init + optional orbax restore (was duplicated per task)."""
-        if args.checkpoint and args.checkpoint.endswith(".jaxm"):
-            # deployed artifact: weights + preprocessing (and, for
-            # repnet, the per-frame logits graph) baked in
-            return InferenceEngine.from_exported(args.checkpoint)
-        model = build_model(cfg.model)
-        variables = model.init(
-            {"params": jax.random.PRNGKey(0)},
-            example_input(cfg.model,
-                          image_size=image_size or cfg.data.image_size),
-            train=False)
-        if args.checkpoint:
-            from workoutdetector_tpu.train.checkpoint import \
-                CheckpointManager
-            mgr = CheckpointManager(os.path.dirname(args.checkpoint) or ".")
-            restored = mgr.restore_variables(args.checkpoint)
-            variables = {"params": restored["params"],
-                         "batch_stats": restored.get(
-                             "batch_stats",
-                             variables.get("batch_stats", {}))}
-        kwargs = {}
-        if image_size is not None:
-            kwargs["image_size"] = image_size
-        if window_batch is not None:
-            kwargs["window_batch"] = window_batch
-        return InferenceEngine(model, variables,
-                               num_segments=cfg.model.num_segments,
-                               **kwargs)
+        fresh init + optional orbax restore (shared with the dataset
+        CLI, infer.engine.engine_from_checkpoint)."""
+        from workoutdetector_tpu.infer.engine import engine_from_checkpoint
+        return engine_from_checkpoint(cfg, args.checkpoint,
+                                      image_size=image_size,
+                                      window_batch=window_batch)
 
     if args.task == "count-repnet":
         cfg.model.model_type = "repnet"
