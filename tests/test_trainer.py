@@ -327,3 +327,28 @@ def test_grad_accum_schedule_counts_update_steps(tmp_path):
     lr_plain = final_lr(1)
     lr_accum = final_lr(4)
     assert abs(lr_plain - lr_accum) < 1e-6, (lr_plain, lr_accum)
+
+
+def test_async_checkpoint_save_restore(tmp_path):
+    """Async saves (the default): save returns while IO runs on a
+    background thread; restore / a subsequent save / wait_until_finished
+    synchronize with the in-flight write, and rapid back-to-back saves
+    don't corrupt each other."""
+    from workoutdetector_tpu.train.checkpoint import CheckpointManager
+    cfg = small_cfg(tmp_path)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(steps_per_epoch=1, image_size=16)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(state, name="a", meta={"k": 1})
+    mgr.save(state, name="b", meta={"k": 2})  # overlaps the 'a' write
+    restored, meta = mgr.restore("a", jax.tree_util.tree_map(np.zeros_like,
+                                                             state))
+    assert meta["k"] == 1
+    np.testing.assert_array_equal(
+        np.asarray(state.params["backbone"]["conv1"]["kernel"]),
+        np.asarray(restored.params["backbone"]["conv1"]["kernel"]))
+    raw = mgr.restore_variables("b")
+    np.testing.assert_array_equal(
+        np.asarray(state.params["backbone"]["conv1"]["kernel"]),
+        np.asarray(raw["params"]["backbone"]["conv1"]["kernel"]))
+    mgr.wait_until_finished()  # idempotent when nothing is in flight

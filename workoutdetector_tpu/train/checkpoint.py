@@ -1,9 +1,17 @@
-"""Orbax checkpointing: best-by-val-acc + last + resume.
+"""Orbax checkpointing: best-by-val-acc + last + resume, async saves.
 
 TPU-native replacement for Lightning ModelCheckpoint + the reference's
 manual torch checkpoint key surgery (SURVEY §5 checkpoint/resume;
 reference trainer.py:230-243, models/tsm.py:451-473 — the torch-side
 surgery lives in models/convert.py).
+
+Saves are ASYNCHRONOUS by default (orbax AsyncCheckpointer): ``save``
+returns once the state is staged to host memory and the serialization/IO
+runs on a background thread, so a mid-training 'best' save does not stall
+the device step loop — the standard TPU practice the reference's
+torch.save has no analog of. Durability points (``restore``, a subsequent
+``save``, ``wait_until_finished`` before process exit) synchronize with
+any in-flight write.
 """
 
 from __future__ import annotations
@@ -19,10 +27,15 @@ import orbax.checkpoint as ocp
 class CheckpointManager:
     """Thin orbax wrapper with named checkpoints ('best', 'last', ...)."""
 
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, async_save: bool = True):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
-        self._ckptr = ocp.StandardCheckpointer()
+        # async saver + sync restorer: restores don't benefit from the
+        # background thread, and StandardCheckpointer keeps the
+        # target-free restore path (restore_variables) simple
+        self._saver = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler()) \
+            if async_save else ocp.StandardCheckpointer()
+        self._restorer = ocp.StandardCheckpointer()
 
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
@@ -30,20 +43,32 @@ class CheckpointManager:
     def save(self, state: Any, name: str = "last",
              meta: Optional[Dict[str, Any]] = None) -> str:
         path = self._path(name)
-        self._ckptr.save(path, state, force=True)
-        self._ckptr.wait_until_finished()
+        # serialize with any in-flight save (orbax forbids overlap); the
+        # wait is a no-op when the previous write already finished
+        self._saver.wait_until_finished()
+        self._saver.save(path, args=ocp.args.StandardSave(state), force=True)
         if meta is not None:
             with open(path + ".meta.json", "w") as f:
                 json.dump(meta, f, default=str)
         return path
 
+    def wait_until_finished(self) -> None:
+        """Block until any in-flight async save is durable on disk. Call
+        before process exit (the trainer does after its final 'last'
+        save — a preemption save must not race the interpreter dying)."""
+        self._saver.wait_until_finished()
+
+    def _resolve(self, path_or_name: str) -> str:
+        path = path_or_name if os.path.isabs(path_or_name) or os.path.sep in \
+            path_or_name else self._path(path_or_name)
+        return os.path.abspath(path)
+
     def restore(self, path_or_name: str, target: Any) -> Tuple[Any, Dict[str, Any]]:
         """Restore into the structure of ``target``. Accepts a bare name
         ('best') or a full path."""
-        path = path_or_name if os.path.isabs(path_or_name) or os.path.sep in \
-            path_or_name else self._path(path_or_name)
-        path = os.path.abspath(path)
-        restored = self._ckptr.restore(path, target)
+        self._saver.wait_until_finished()  # read-after-write consistency
+        path = self._resolve(path_or_name)
+        restored = self._restorer.restore(path, target)
         meta: Dict[str, Any] = {}
         meta_path = path + ".meta.json"
         if os.path.exists(meta_path):
@@ -63,9 +88,8 @@ class CheckpointManager:
         averaged weights are the deployment weights. The trainer's resume
         fallback passes ``prefer_ema=False`` to keep training the raw ones.
         """
-        path = path_or_name if os.path.isabs(path_or_name) or os.path.sep in \
-            path_or_name else self._path(path_or_name)
-        raw = self._ckptr.restore(os.path.abspath(path))
+        self._saver.wait_until_finished()
+        raw = self._restorer.restore(self._resolve(path_or_name))
         params = raw.get("params", raw)
         if prefer_ema and isinstance(raw, dict) and \
                 raw.get("ema_params") is not None:

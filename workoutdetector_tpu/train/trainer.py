@@ -474,6 +474,9 @@ class Trainer:
             ckpt.save(state, name="last",
                       meta={"best_val_acc": self.best_val_acc,
                             "preempted": preempted.is_set()})
+            # the final (possibly preemption-triggered) save must be
+            # durable before the process can exit
+            ckpt.wait_until_finished()
         history["best_val_acc"] = self.best_val_acc
         history["preempted"] = float(preempted.is_set())
         loggers.close()
