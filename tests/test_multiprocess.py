@@ -229,7 +229,8 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 sys.path.insert(0, sys.argv[3])
 from workoutdetector_tpu.data.loader import DataLoader
-from workoutdetector_tpu.parallel.mesh import create_mesh, shard_batch
+from workoutdetector_tpu.parallel.mesh import (create_mesh, host_batch_shard,
+                                               shard_batch)
 
 class Toy:
     def __len__(self):
@@ -239,10 +240,21 @@ class Toy:
                 rng.integers(0, 100, (3,), dtype=np.uint8), idx)
 
 mesh = create_mesh(model=1)
+# the loader shard comes from the batch SHARDING, not process_count:
+# pure DP -> each host owns half the rows ...
+assert host_batch_shard(mesh) == (pid, 2), host_batch_shard(mesh)
+# ... but a model axis spanning both hosts replicates the batch rows
+# across processes -> every host must load the FULL batch
+mesh_tp = create_mesh(model=8)
+assert host_batch_shard(mesh_tp) == (0, 1), host_batch_shard(mesh_tp)
+# and on the hybrid slice mesh each host is again half the global batch
+mesh_sl = create_mesh(slices=2, model=2)
+assert host_batch_shard(mesh_sl) == (pid, 2), host_batch_shard(mesh_sl)
+
 # THE trainer feed: each process loads only its block of the global batch
+shard_id, num_shards = host_batch_shard(mesh)
 ld = DataLoader(Toy(), batch_size=8, shuffle=True, num_workers=2, seed=5,
-                shard_id=jax.process_index(),
-                num_shards=jax.process_count())
+                shard_id=shard_id, num_shards=num_shards)
 ld.set_epoch(1)
 # the single-host ground truth, computed identically in both processes
 ref = DataLoader(Toy(), batch_size=8, shuffle=True, num_workers=2, seed=5)

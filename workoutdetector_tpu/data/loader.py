@@ -105,13 +105,19 @@ class DataLoader:
         return item
 
     def _item_shape(self) -> Tuple[Tuple[int, ...], Any]:
-        """Per-item (shape, dtype), probed from item 0 if no batch has
-        established it yet (only needed when a shard's very first yielded
-        block is all-pad)."""
+        """Per-item (shape, dtype) — only needed when a shard's very
+        first yielded block is all-pad. Datasets may expose an
+        ``item_shape`` property ((shape, dtype), no decode); otherwise
+        item 0 is fetched once to establish it."""
         if self._probe_shape is None:
-            x0, _ = self._fetch(0)
-            x0 = np.asarray(x0)
-            self._probe_shape = (x0.shape, x0.dtype)
+            declared = getattr(self.dataset, "item_shape", None)
+            if declared is not None:
+                shape, dtype = declared
+                self._probe_shape = (tuple(shape), np.dtype(dtype))
+            else:
+                x0, _ = self._fetch(0)
+                x0 = np.asarray(x0)
+                self._probe_shape = (x0.shape, x0.dtype)
         return self._probe_shape
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:

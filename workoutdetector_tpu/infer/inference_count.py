@@ -300,10 +300,12 @@ def _shard_items(items: List, shard: Tuple[int, int]) -> List:
     the same way the reference parallelizes nothing (its eval loop is
     strictly serial, utils/inference_count.py:424-512)."""
     i, n = shard
-    if n <= 1:
+    if n < 1 or not 0 <= i < n:
+        # validate BEFORE the n==1 fast path: a typo'd shard=(1, 1) must
+        # not silently process the whole split as a "partial" result
+        raise ValueError(f"invalid shard {shard}: need 0 <= i < n")
+    if n == 1:
         return items
-    if not 0 <= i < n:
-        raise ValueError(f"shard index out of range: {shard}")
     return sorted(items, key=lambda it: it.video_name)[i::n]
 
 
@@ -574,6 +576,13 @@ def main(argv: Optional[List[str]] = None) -> None:
         i, n = map(int, args.shard.split("/"))
     except ValueError:
         parser.error(f"--shard must be I/N, got {args.shard!r}")
+    if n < 1 or not 0 <= i < n:
+        parser.error(f"--shard needs 0 <= I < N, got {args.shard!r}")
+    if args.score is not None and args.model_type != "video":
+        parser.error("--score writes windowed class-score JSONs and only "
+                     "works with --model-type video (the reference's "
+                     "inference_dataset is the video scorer); counting-only "
+                     "model types go through --eval")
     data_root = args.data_root or osp.expanduser("~/data/RepCount/")
     anno_path = args.anno or osp.join(data_root, "annotation.csv")
 
@@ -590,18 +599,31 @@ def main(argv: Optional[List[str]] = None) -> None:
         jax.config.update("jax_platforms", "cpu")
     cfg = load_config(args.cfg, args.opts)
     engine = None
-    if args.model_type != "motion":
+    if args.model_type == "similarity":
+        # training-free: per-frame features from a bare (headless) ResNet
+        # — checkpoint-free by design, exactly the engines the similarity
+        # tests build (resnetN(num_classes=0), input_rank=4)
+        import jax
+        import jax.numpy as jnp
+
+        from workoutdetector_tpu.models import resnet as rn
+        ctor = getattr(rn, cfg.model.base_model, None) or rn.resnet18
+        net = ctor(num_classes=0, dtype=jnp.float32)
+        s = cfg.data.image_size
+        variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, s, s, 3)))
+        engine = InferenceEngine(net, variables, input_rank=4,
+                                 window_batch=16, image_size=s)
+    elif args.model_type != "motion":
         from workoutdetector_tpu.infer.engine import engine_from_checkpoint
         if args.model_type == "repnet":
             cfg.model.model_type = "repnet"
-        # similarity counts from backbone features: a rank-4 engine over
-        # a features_only backbone (num_class=0 → feature head)
-        input_rank = 4 if args.model_type in ("image", "similarity") else None
-        if args.model_type == "similarity":
-            cfg.model.num_class = 0
-        engine = engine_from_checkpoint(cfg, args.checkpoint,
-                                        image_size=cfg.data.image_size,
-                                        input_rank=input_rank)
+        elif args.model_type == "image":
+            # per-frame image state classifier (rank-4 engine)
+            cfg.model.model_type = "image"
+        engine = engine_from_checkpoint(
+            cfg, args.checkpoint,
+            image_size=cfg.data.image_size,
+            input_rank=4 if args.model_type == "image" else None)
 
     if args.score is not None:
         inference_dataset(engine, [args.split], args.score,

@@ -231,6 +231,42 @@ def prefetch_to_device(iterator: Any, mesh: Mesh, size: int = 2,
         yield buf.popleft()
 
 
+def host_batch_shard(mesh: Mesh, axis: str = "data") -> tuple:
+    """(shard_id, num_shards) of THIS process's contiguous block of a
+    batch laid out by :func:`batch_sharding` — what the DataLoader must
+    feed so ``shard_batch``'s make_array_from_process_local_data sees
+    exactly the rows this process's devices address.
+
+    Derived from the sharding itself, not from process_index/count: on a
+    mesh whose model (or pipeline/expert) axis crosses the process
+    boundary the batch rows replicate across processes — e.g. a
+    (data=1, model=8) mesh over 2 hosts needs the FULL batch on both
+    hosts (returns (0, 1)), while a pure-DP 2-host mesh returns
+    (process_index, 2).
+    """
+    if jax.process_count() == 1:
+        return 0, 1
+    sharding = batch_sharding(mesh, axis)
+    n = dp_size(mesh, axis)  # smallest length every shard extent divides
+    imap = sharding.devices_indices_map((n,))
+    mine = [imap[d][0] for d in sharding.addressable_devices]
+    starts = [s.start or 0 for s in mine]
+    stops = [s.stop if s.stop is not None else n for s in mine]
+    lo, hi = min(starts), max(stops)
+    extent = hi - lo
+    # contiguity holds for meshes built from the standard process-ordered
+    # jax.devices() layout (create_mesh); anything else needs an explicit
+    # loader sharding
+    covered = np.zeros(n, bool)
+    for s, e in zip(starts, stops):
+        covered[s:e] = True
+    assert covered[lo:hi].all() and covered.sum() == extent, \
+        f"non-contiguous host batch block [{lo},{hi}) of {n}"
+    assert n % extent == 0 and lo % extent == 0, \
+        f"irregular host batch block [{lo},{hi}) of {n}"
+    return lo // extent, n // extent
+
+
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
     """device_put a host pytree with the leading dim sharded over ``axis``.
 

@@ -36,6 +36,10 @@ class CheckpointManager:
         self._saver = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler()) \
             if async_save else ocp.StandardCheckpointer()
         self._restorer = ocp.StandardCheckpointer()
+        # meta written for an in-flight async save: (tmp_path, final_path),
+        # renamed into place only once the checkpoint itself is durable —
+        # meta must never point at a checkpoint that isn't on disk yet
+        self._pending_meta: Optional[Tuple[str, str]] = None
 
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
@@ -45,18 +49,28 @@ class CheckpointManager:
         path = self._path(name)
         # serialize with any in-flight save (orbax forbids overlap); the
         # wait is a no-op when the previous write already finished
-        self._saver.wait_until_finished()
+        self.wait_until_finished()
         self._saver.save(path, args=ocp.args.StandardSave(state), force=True)
         if meta is not None:
-            with open(path + ".meta.json", "w") as f:
+            # stage the meta; it becomes visible (renamed) only at the
+            # next durability point, so a crash while the async write is
+            # in flight never leaves a meta pointing at a missing ckpt
+            tmp = path + ".meta.json.tmp"
+            with open(tmp, "w") as f:
                 json.dump(meta, f, default=str)
+            self._pending_meta = (tmp, path + ".meta.json")
         return path
 
     def wait_until_finished(self) -> None:
-        """Block until any in-flight async save is durable on disk. Call
-        before process exit (the trainer does after its final 'last'
-        save — a preemption save must not race the interpreter dying)."""
+        """Block until any in-flight async save (and its meta) is durable
+        on disk. Call before process exit (the trainer does after its
+        final 'last' save — a preemption save must not race the
+        interpreter dying)."""
         self._saver.wait_until_finished()
+        if self._pending_meta is not None:
+            tmp, final = self._pending_meta
+            os.replace(tmp, final)
+            self._pending_meta = None
 
     def _resolve(self, path_or_name: str) -> str:
         path = path_or_name if os.path.isabs(path_or_name) or os.path.sep in \
@@ -66,7 +80,7 @@ class CheckpointManager:
     def restore(self, path_or_name: str, target: Any) -> Tuple[Any, Dict[str, Any]]:
         """Restore into the structure of ``target``. Accepts a bare name
         ('best') or a full path."""
-        self._saver.wait_until_finished()  # read-after-write consistency
+        self.wait_until_finished()  # read-after-write consistency
         path = self._resolve(path_or_name)
         restored = self._restorer.restore(path, target)
         meta: Dict[str, Any] = {}
@@ -88,7 +102,7 @@ class CheckpointManager:
         averaged weights are the deployment weights. The trainer's resume
         fallback passes ``prefer_ema=False`` to keep training the raw ones.
         """
-        self._saver.wait_until_finished()
+        self.wait_until_finished()
         raw = self._restorer.restore(self._resolve(path_or_name))
         params = raw.get("params", raw)
         if prefer_ema and isinstance(raw, dict) and \

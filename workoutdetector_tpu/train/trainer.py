@@ -42,6 +42,7 @@ from workoutdetector_tpu.data.loader import DataLoader
 from workoutdetector_tpu.models.factory import build_model, example_input
 from workoutdetector_tpu.ops.preprocess import normalize_clip
 from workoutdetector_tpu.parallel.mesh import (batch_sharding, create_mesh,
+                                               host_batch_shard,
                                                prefetch_to_device,
                                                replicated_sharding, shard_batch,
                                                state_sharding)
@@ -284,6 +285,11 @@ class Trainer:
     # ------------------------------------------------------------------ #
     def _loader(self, split: str, shuffle: bool) -> DataLoader:
         ds = build_dataset(self.cfg.data, split)
+        # multi-host: each process loads only the block of the global
+        # batch its devices address, derived from the batch sharding
+        # (NOT process_count — a model/pp axis crossing hosts replicates
+        # batch rows across processes)
+        shard_id, num_shards = host_batch_shard(self.mesh)
         return DataLoader(ds,
                           batch_size=self.cfg.data.batch_size,
                           shuffle=shuffle,
@@ -293,12 +299,8 @@ class Trainer:
                           # run; eval keeps every sample via the padded
                           # tail batch (reference drop_last=False)
                           drop_last=(split == "train"),
-                          # multi-host: each process loads only its
-                          # contiguous block of the global batch — the
-                          # local slice shard_batch feeds to
-                          # make_array_from_process_local_data
-                          shard_id=jax.process_index(),
-                          num_shards=jax.process_count())
+                          shard_id=shard_id,
+                          num_shards=num_shards)
 
     def evaluate(self, state: TrainState, loader: DataLoader) -> Dict[str, float]:
         eval_step = self.eval_step_fn()
