@@ -615,3 +615,66 @@ def test_ws_count_periodic_mode():
                 pass
 
     asyncio.run(drive())
+
+
+def test_graceful_drain():
+    """begin_drain() (what SIGTERM triggers): healthz flips to 503 so the
+    LB pulls the replica, a connected client gets a draining notice after
+    its in-flight frame and is closed, a NEW connection is refused with
+    the same notice, and serve_ws returns by itself — no task cancel."""
+    model = ConstModel()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8, SIZE, SIZE, 3)))
+    engine = InferenceEngine(model, variables, num_segments=8,
+                             window_batch=4, image_size=SIZE)
+    srv = WorkoutServer(engine, host="127.0.0.1", http_port=_free_port(),
+                        ws_port=_free_port())
+    srv.start_http()
+
+    def healthz_code():
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{srv.http_port}/healthz",
+                    timeout=10) as r:
+                return r.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    async def drive():
+        import websockets
+        ws_task = asyncio.create_task(srv.serve_ws())
+        await asyncio.sleep(0.2)
+        loop = asyncio.get_running_loop()
+        assert await loop.run_in_executor(None, healthz_code) == 200
+        uri = f"ws://127.0.0.1:{srv.ws_port}/ws/drain1"
+        async with websockets.connect(uri) as ws:
+            for _ in range(8):
+                await ws.send(_frame_data_url(200))
+            first = json.loads(await asyncio.wait_for(ws.recv(), timeout=30))
+            assert first["success"] is True
+
+            srv.begin_drain()
+            assert await loop.run_in_executor(None, healthz_code) == 503
+
+            # a connection raced into the drain is told to go elsewhere
+            # immediately (the notice arrives at connection entry)
+            async with websockets.connect(
+                    f"ws://127.0.0.1:{srv.ws_port}/ws/drain2") as ws2:
+                notice = json.loads(await asyncio.wait_for(ws2.recv(),
+                                                           timeout=10))
+                assert notice.get("draining") is True
+
+            # the existing client's next frame gets the notice + close
+            await ws.send(_frame_data_url(100))
+            notice = json.loads(await asyncio.wait_for(ws.recv(), timeout=10))
+            assert notice.get("draining") is True
+            from websockets.exceptions import ConnectionClosed
+            with pytest.raises((ConnectionClosed, asyncio.TimeoutError)):
+                await asyncio.wait_for(ws.recv(), timeout=10)
+        # serve_ws exits on its own once connections are gone
+        await asyncio.wait_for(ws_task, timeout=15)
+
+    try:
+        asyncio.run(drive())
+    finally:
+        srv.shutdown()

@@ -152,6 +152,16 @@ class WorkoutServer:
         self._t0 = time.time()
         self._ws_active = 0
         self._uploads = 0
+        # graceful drain (SIGTERM/SIGINT or begin_drain()): /healthz
+        # flips to 503 so the LB pulls this replica, connected WS clients
+        # get a draining notice and close after their in-flight frame,
+        # and serve_ws exits once active connections hit 0 (or the grace
+        # period lapses) — the serving counterpart of the trainer's
+        # preemption-aware checkpointing
+        self._draining = False
+        self.drain_grace_s = 10.0
+        self._stop_event: Optional[asyncio.Event] = None
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
 
     def stats(self) -> Dict:
         """Operational snapshot served at GET /stats."""
@@ -217,7 +227,19 @@ class WorkoutServer:
         pcounter: Optional[StreamingPeriodicCounter] = None
         self._ws_active += 1
         try:
+            if self._draining:  # connection raced the drain start
+                await websocket.send(json.dumps(
+                    {"success": False, "draining": True,
+                     "msg": "server draining"}))
+                return
             async for message in websocket:
+                if self._draining:
+                    # finish nothing new: tell the client and close after
+                    # whatever was already in flight
+                    await websocket.send(json.dumps(
+                        {"success": False, "draining": True,
+                         "msg": "server draining"}))
+                    break
                 if message == "stop":
                     break
                 if isinstance(message, str) and message.startswith("mode:"):
@@ -357,13 +379,14 @@ class WorkoutServer:
                 path = self.path.split("?")[0]
                 if path.rstrip("/") == "/healthz":
                     # liveness/readiness for load balancers: cheap (no
-                    # device call per probe), reports what is served
+                    # device call per probe), reports what is served;
+                    # 503 while draining so the LB stops routing here
                     self._send_json({
-                        "status": "ok",
+                        "status": "draining" if server._draining else "ok",
                         "model_type": getattr(server.engine, "meta", {})
                         .get("model_type", "tsm"),
                         "periodic": server.periodic_engine is not None,
-                    })
+                    }, code=503 if server._draining else 200)
                     return
                 if path.rstrip("/") == "/stats":
                     self._send_json(server.stats())
@@ -402,16 +425,43 @@ class WorkoutServer:
         t.start()
         return t
 
+    def begin_drain(self) -> None:
+        """Start a graceful shutdown (signal-handler and thread safe):
+        healthz goes 503, WS clients get a draining notice, serve_ws
+        returns once connections finish (bounded by drain_grace_s)."""
+        self._draining = True
+        loop, ev = self._loop, self._stop_event
+        if loop is not None and ev is not None:
+            loop.call_soon_threadsafe(ev.set)
+
     async def serve_ws(self) -> None:
+        import signal
+
         import websockets
+        self._loop = asyncio.get_running_loop()
+        self._stop_event = asyncio.Event()
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._loop.add_signal_handler(sig, self.begin_drain)
+            except (NotImplementedError, RuntimeError):
+                pass  # non-main thread (tests) or platform without support
         async with websockets.serve(self._ws_handler, self.host, self.ws_port):
-            await asyncio.Future()  # run forever
+            await self._stop_event.wait()
+            # drain: handlers see _draining and close after their
+            # in-flight frame; bound the wait so a stuck client can't
+            # hold the process past its eviction deadline
+            t0 = time.time()
+            while self._ws_active > 0 and \
+                    time.time() - t0 < self.drain_grace_s:
+                await asyncio.sleep(0.05)
+        # context exit closed the listener + any remaining connections
 
     def run(self) -> None:
         self.start_http()
         print(f"HTTP on http://{self.host}:{self.http_port} "
               f"(POST /video, static /), WS on ws://{self.host}:{self.ws_port}/ws/<id>")
         asyncio.run(self.serve_ws())
+        self.shutdown()
 
     def shutdown(self) -> None:
         if self._httpd is not None:
