@@ -678,3 +678,26 @@ def test_graceful_drain():
         asyncio.run(drive())
     finally:
         srv.shutdown()
+
+
+def test_warmup_compiles_before_listen():
+    """warmup() compiles every serving program (main + periodic) so the
+    first client window doesn't pay the XLA compile; healthz reports it."""
+    model = ConstModel()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8, SIZE, SIZE, 3)))
+    engine = InferenceEngine(model, variables, num_segments=8,
+                             window_batch=4, image_size=SIZE)
+    srv = WorkoutServer(engine, host="127.0.0.1", http_port=_free_port(),
+                        ws_port=_free_port())
+    assert srv._warm is False
+    srv.warmup()
+    assert srv._warm is True
+    srv.start_http()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.http_port}/healthz", timeout=10) as r:
+            health = json.loads(r.read())
+        assert health["warm"] is True
+    finally:
+        srv.shutdown()

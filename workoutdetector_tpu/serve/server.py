@@ -162,6 +162,7 @@ class WorkoutServer:
         self.drain_grace_s = 10.0
         self._stop_event: Optional[asyncio.Event] = None
         self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._warm = False
 
     def stats(self) -> Dict:
         """Operational snapshot served at GET /stats."""
@@ -386,6 +387,7 @@ class WorkoutServer:
                         "model_type": getattr(server.engine, "meta", {})
                         .get("model_type", "tsm"),
                         "periodic": server.periodic_engine is not None,
+                        "warm": server._warm,
                     }, code=503 if server._draining else 200)
                     return
                 if path.rstrip("/") == "/stats":
@@ -425,6 +427,33 @@ class WorkoutServer:
         t.start()
         return t
 
+    def warmup(self) -> None:
+        """Compile every serving program BEFORE accepting traffic.
+
+        The engines jit lazily, so without this the first client window
+        pays the full XLA compile — minutes on a TPU, during which every
+        concurrent request queues behind it. run() warms up before the
+        HTTP listener binds, so a load balancer's first successful
+        /healthz probe already implies compiled-and-ready.
+        """
+        t0 = time.time()
+        s = self.engine.image_size
+
+        def zwin(e):
+            return np.zeros((e.window_batch, e.num_segments, s, s, 3),
+                            np.uint8)
+
+        self.engine.score_windows(zwin(self.engine))
+        if self.count_engine is not self.engine:
+            self.count_engine.score_windows(zwin(self.count_engine))
+        if self.periodic_engine is not None:
+            from workoutdetector_tpu.infer.inference_count import \
+                repnet_frame_logits_batch
+            repnet_frame_logits_batch(self.periodic_engine)(
+                zwin(self.periodic_engine))
+        self._warm = True
+        log.info("serving programs compiled in %.1fs", time.time() - t0)
+
     def begin_drain(self) -> None:
         """Start a graceful shutdown (signal-handler and thread safe):
         healthz goes 503, WS clients get a draining notice, serve_ws
@@ -456,7 +485,11 @@ class WorkoutServer:
                 await asyncio.sleep(0.05)
         # context exit closed the listener + any remaining connections
 
-    def run(self) -> None:
+    def run(self, warmup: bool = True) -> None:
+        if warmup:
+            print("compiling serving programs (first compile can take "
+                  "minutes on TPU)...")
+            self.warmup()
         self.start_http()
         print(f"HTTP on http://{self.host}:{self.http_port} "
               f"(POST /video, static /), WS on ws://{self.host}:{self.ws_port}/ws/<id>")
