@@ -72,6 +72,14 @@ def main() -> None:
                         "(inference only)")
     p.add_argument("--barrier", action="store_true",
                    help="TimeSformer: optimization_barrier between blocks")
+    p.add_argument("--sweep", default=None, metavar="B1,B2,...",
+                   help="autotune the serving operating point: bench each "
+                        "batch size, print one row per size plus a "
+                        "'recommended' line (max clips/s, optionally "
+                        "latency-bounded)")
+    p.add_argument("--latency-ms", type=float, default=None,
+                   help="with --sweep: recommend the fastest batch whose "
+                        "step time stays under this bound (serving SLO)")
     args = p.parse_args()
 
     import jax
@@ -113,14 +121,52 @@ def main() -> None:
     batch_stats = dict(variables.get("batch_stats", {}))
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
 
-    shape = x0.shape
+    def bench_batch(batch):
+        return _bench_one(args, cfg, model, params, batch_stats, n_params,
+                          batch, jax, jnp, np)
+
+    if args.sweep:
+        batches = [int(b) for b in args.sweep.split(",")]
+        rows = []
+        for b in batches:
+            row = bench_batch(b)
+            rows.append(row)
+            print(json.dumps(row))
+        ok = [r for r in rows
+              if args.latency_ms is None or r["ms_per_step"] <= args.latency_ms]
+        pool = ok or rows  # nothing meets the SLO → report fastest anyway
+        best = max(pool, key=lambda r: r["clips_per_sec"])
+        print(json.dumps({
+            "recommended_batch": best["batch"],
+            "clips_per_sec": best["clips_per_sec"],
+            "ms_per_step": best["ms_per_step"],
+            "latency_bound_ms": args.latency_ms,
+            "meets_latency_bound": bool(ok) if args.latency_ms else None,
+        }))
+        return
+    print(json.dumps(bench_batch(args.batch)))
+
+
+def _bench_one(args, cfg, model, params, batch_stats, n_params, batch,
+               jax, jnp, np):
+    import optax
+
+    from workoutdetector_tpu.models.factory import example_input
+    from workoutdetector_tpu.ops.preprocess import normalize_clip
+
+    shape = example_input(cfg, batch=batch,
+                          image_size=args.image_size).shape
     x_u8 = jnp.asarray(
         np.random.default_rng(0).integers(0, 256, shape, dtype=np.uint8))
 
     if args.train:
+        # donated below — work on copies so a --sweep can re-bench the
+        # same weights at the next batch size
+        params = jax.tree_util.tree_map(jnp.copy, params)
+        batch_stats = jax.tree_util.tree_map(jnp.copy, batch_stats)
         tx = optax.sgd(0.0)  # throughput only; lr 0 keeps weights stable
         opt_state = tx.init(params)
-        y = jnp.zeros((args.batch,), jnp.int32)
+        y = jnp.zeros((batch,), jnp.int32)
 
         def step(params, batch_stats, opt_state, x_u8, y):
             x = normalize_clip(x_u8)
@@ -194,18 +240,18 @@ def main() -> None:
         dt = run_n(args.steps, 64) / args.steps
 
     flops = float(cost.get("flops", 0.0)) if cost else 0.0
-    clips_s = args.batch / dt
-    print(json.dumps({
+    clips_s = batch / dt
+    return {
         "model": args.model,
         "base_model": cfg.base_model,
         "mode": "train" if args.train else "inference",
-        "batch": args.batch,
+        "batch": batch,
         "params_m": round(n_params / 1e6, 2),
         "ms_per_step": round(dt * 1e3, 2),
         "clips_per_sec": round(clips_s, 1),
         "xla_gflops_per_step": round(flops / 1e9, 1),
         "achieved_tflops": round(flops / dt / 1e12, 1),
-    }))
+    }
 
 
 if __name__ == "__main__":
