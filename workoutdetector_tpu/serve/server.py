@@ -537,6 +537,11 @@ def main() -> None:
     parser.add_argument("--repnet-checkpoint", default=None,
                         help="repnet .jaxm artifact enabling the live "
                              "'mode:count-periodic' WS mode")
+    parser.add_argument("--window-batch", type=int, default=None,
+                        help="device batch of the serving program; default "
+                             "is the measured per-family operating point "
+                             "(docs/PERF.md autotuned table): 4 for "
+                             "timesformer, 16 otherwise")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument("opts", nargs="*", help="dotted config overrides")
     args = parser.parse_args()
@@ -575,9 +580,11 @@ def main() -> None:
                      "batch_stats": restored.get(
                          "batch_stats", variables.get("batch_stats", {}))}
 
+    window_batch = args.window_batch if args.window_batch else \
+        (4 if cfg.model.model_type == "timesformer" else 16)
     engine = InferenceEngine(model, variables,
                              num_segments=cfg.model.num_segments,
-                             window_batch=16)
+                             window_batch=window_batch)
     WorkoutServer(engine, http_port=args.port,
                   periodic_engine=periodic_engine).run()
 
