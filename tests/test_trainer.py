@@ -352,3 +352,35 @@ def test_async_checkpoint_save_restore(tmp_path):
         np.asarray(state.params["backbone"]["conv1"]["kernel"]),
         np.asarray(raw["params"]["backbone"]["conv1"]["kernel"]))
     mgr.wait_until_finished()  # idempotent when nothing is in flight
+
+
+def test_auto_resume_same_command_line(tmp_path):
+    """resume_from_checkpoint='auto': the SAME command restarts a
+    preempted run from its own 'last' checkpoint (fresh start when none
+    exists), and the restart is bit-identical to the uninterrupted run
+    thanks to exact mid-epoch resume."""
+    ckpt_dir = str(tmp_path / "ckpts")
+
+    def cfg_auto(max_steps=-1):
+        cfg = small_cfg(tmp_path)
+        cfg.trainer.max_epochs = 2
+        cfg.trainer.max_steps = max_steps
+        cfg.trainer.resume_from_checkpoint = "auto"
+        cfg.callbacks.modelcheckpoint.dirpath = ckpt_dir
+        return cfg
+
+    # no checkpoint yet -> 'auto' starts fresh, stops mid-epoch 1
+    state_mid, _ = Trainer(cfg_auto(max_steps=3)).fit(ckpt_dir=ckpt_dir)
+    assert int(state_mid.step) == 3
+
+    # identical command (minus the preemption stand-in) -> continues
+    state_res, _ = Trainer(cfg_auto()).fit(ckpt_dir=ckpt_dir)
+    assert int(state_res.step) == 4
+
+    # reference: one uninterrupted run
+    cfg = small_cfg(tmp_path / "ref")
+    cfg.trainer.max_epochs = 2
+    state_full, _ = Trainer(cfg).fit(ckpt_dir=str(tmp_path / "ref_ckpts"))
+    for a, b in zip(jax.tree_util.tree_leaves(state_full.params),
+                    jax.tree_util.tree_leaves(state_res.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

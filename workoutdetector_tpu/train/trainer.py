@@ -348,15 +348,24 @@ class Trainer:
             ckpt_dir = cfg.callbacks.modelcheckpoint.dirpath or log_dir
         from workoutdetector_tpu.train.checkpoint import CheckpointManager
         ckpt = CheckpointManager(ckpt_dir) if cfg.trainer.enable_checkpointing else None
-        if cfg.trainer.resume_from_checkpoint and ckpt is not None:
+        resume_from = cfg.trainer.resume_from_checkpoint
+        if resume_from == "auto":
+            # production convenience: the SAME command line restarts a
+            # preempted run — resume from this run's 'last' checkpoint
+            # when one exists, start fresh otherwise. With exact
+            # mid-epoch resume the restart is bit-identical to never
+            # having been preempted.
+            resume_from = "last" if ckpt is not None and ckpt.exists("last") \
+                else None
+        if resume_from and ckpt is not None:
             try:
-                state, meta = ckpt.restore(cfg.trainer.resume_from_checkpoint, state)
+                state, meta = ckpt.restore(resume_from, state)
             except Exception:
                 # optimizer config changed since the checkpoint (e.g.
                 # grad_accum toggled) → opt_state structure mismatch.
                 # Restore weights only and continue with a fresh optimizer.
-                restored = ckpt.restore_variables(
-                    cfg.trainer.resume_from_checkpoint, prefer_ema=False)
+                restored = ckpt.restore_variables(resume_from,
+                                                  prefer_ema=False)
                 state = state.replace(params=restored["params"],
                                       batch_stats=restored.get(
                                           "batch_stats", state.batch_stats),
