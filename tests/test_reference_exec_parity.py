@@ -1,0 +1,326 @@
+"""Parity gates against the reference's OWN executing code.
+
+Every other parity test in this suite compares against re-implemented
+oracles. These gates load the reference's source from /root/reference
+(tests/reference_exec.py — absent deps stubbed at import time, nothing
+copied) and execute it as the oracle:
+
+  * pred_to_count / obo_mae / to_softmax — bit-level agreement on
+    randomized inputs (reference utils/inference_count.py:114-165,
+    utils/eval.py:11-24, utils/visualize.py:140-150).
+  * eval main — OUR ``_write_score_json`` artifacts, fed to the
+    reference's published-metric eval (utils/eval.py:117-180), produce
+    the same per-video counts, MAE and OBO as our eval_score_dir.
+  * analyze_count — same meta CSV from both implementations
+    (utils/eval.py:58-114).
+  * TemporalShift.shift / InplaceShift / TemporalPool — bit-exact vs our
+    XLA ops (models/tsm.py:34-80,95-101).
+  * create_model — the genuine reference TSM module (shift injection,
+    child-slicing, consensus forward; models/tsm.py:188-476) ported
+    through models.convert and matched by our flax TSM to ≤1e-4.
+  * sample_frames — deterministic path bit-equal over a sweep
+    (datasets/transform.py:16-65).
+
+All tests skip when /root/reference is not mounted.
+"""
+
+import json
+import os
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from reference_exec import (load_ref_eval, load_ref_inference_count,
+                            load_ref_transform, load_ref_tsm,
+                            load_ref_visualize, pandas_append_shim,
+                            reference_available)
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="/root/reference not mounted")
+
+from workoutdetector_tpu import counting
+
+
+# ---------------------------------------------------------------- counting
+
+
+def _random_pred_sequences(n_seqs: int = 400):
+    rng = np.random.default_rng(0)
+    for i in range(n_seqs):
+        length = int(rng.integers(0, 60))
+        n_classes = int(rng.integers(2, 13))
+        # mix background and class runs — runs make state changes likely
+        seq = []
+        while len(seq) < length:
+            state = int(rng.integers(-1, n_classes))
+            seq.extend([state] * int(rng.integers(1, 6)))
+        yield seq[:length], int(rng.integers(1, 17))
+
+
+def test_pred_to_count_reference_executable():
+    ic = load_ref_inference_count()
+    golden = [-1, -1, 6, 6, 6, 7, 6, 6, 6, 7, 6, 6, 7, 7, 6, 6, 7, 7, 6, 6,
+              7, 7, 6, 6, 7, 7, -1]
+    assert ic.pred_to_count(golden, step=8) == \
+        counting.pred_to_count(golden, step=8) == \
+        (6, [16, 40, 48, 72, 80, 96, 112, 128, 144, 160, 176, 192])
+    for seq, step in _random_pred_sequences():
+        ref = ic.pred_to_count(list(seq), step=step)
+        got = counting.pred_to_count(list(seq), step=step)
+        assert got == ref, (seq, step)
+
+
+def test_obo_mae_reference_executable():
+    ev = load_ref_eval()
+    rng = np.random.default_rng(1)
+    for _ in range(50):
+        n = int(rng.integers(1, 40))
+        preds = rng.integers(0, 30, n).tolist()
+        gts = rng.integers(0, 30, n).tolist()
+        for ratio in (True, False):
+            ref = ev.obo_mae(preds, gts, ratio=ratio)
+            got = counting.obo_mae(preds, gts, ratio=ratio)
+            assert got == tuple(ref), (preds, gts, ratio)
+
+
+def test_to_softmax_reference_executable():
+    vis = load_ref_visualize()
+    rng = np.random.default_rng(2)
+    for _ in range(25):
+        n = int(rng.integers(2, 13))
+        d = {str(i): float(rng.normal(0, 2)) for i in range(n)}
+        ref = vis.to_softmax(dict(d))
+        got = counting.to_softmax(dict(d))
+        assert list(ref.keys()) == list(got.keys())
+        np.testing.assert_allclose(list(got.values()), list(ref.values()),
+                                   atol=1e-6)
+
+
+# -------------------------------------------------------- eval pipeline
+
+ACTIONS = ["squat", "pull_up"]
+SPLITS = ["val", "test"]
+
+
+def _make_score_dir(tmp_path, n_classes: int, seed: int = 3):
+    """Score JSONs through OUR writer (infer._write_score_json) + a matching
+    annotation csv — the artifacts the reference eval then consumes."""
+    import pandas as pd
+
+    from workoutdetector_tpu.infer.inference_count import _write_score_json
+
+    rng = np.random.default_rng(seed)
+    json_dir = tmp_path / "scores"
+    json_dir.mkdir()
+    engine = types.SimpleNamespace(num_segments=8, image_size=224)
+    names, counts, reps, splits, classes = [], [], [], [], []
+    v = 0
+    for split in SPLITS:
+        for action in ACTIONS:
+            for _ in range(2):
+                name = f"vid{v}"
+                v += 1
+                n_chunks = int(rng.integers(6, 20))
+                starts = np.arange(n_chunks) * 8
+                logits = rng.normal(0.45, 0.35, (n_chunks, n_classes))
+                item = types.SimpleNamespace(video_name=name,
+                                             reps=[0, 10, 10, 20],
+                                             class_=action)
+                _write_score_json(engine, item, int(starts[-1] + 16), starts,
+                                  logits, "ckpt", str(json_dir))
+                names.append(name + ".mp4")
+                counts.append(int(rng.integers(0, 8)))
+                reps.append("0 10 10 20")
+                splits.append(split)
+                classes.append(action)
+    anno = tmp_path / "annotation.csv"
+    pd.DataFrame({
+        "name": names, "count": counts, "reps": reps, "split": splits,
+        "class_": classes,
+    }).to_csv(anno, index=False)
+    return str(json_dir), str(anno)
+
+
+@pytest.mark.parametrize("softmax", [False, True])
+def test_eval_main_reference_bit_match(tmp_path, capsys, softmax):
+    """Our score JSONs through the reference's published-metric eval main:
+    per-video counts identical, MAE/OBO identical to eval_score_dir."""
+    import pandas as pd
+
+    ev = load_ref_eval()
+    # 2 classes keeps softmax maxima straddling the 0.5 threshold so both
+    # the -1/background and the counted paths are exercised
+    json_dir, anno = _make_score_dir(tmp_path, n_classes=2)
+
+    ref_csv = str(tmp_path / "ref_eval.csv")
+    ev.main(json_dir, anno, ref_csv, softmax=softmax)
+    printed = capsys.readouterr().out
+    assert "Mean absolute error" in printed
+
+    mae, obo, rows = counting.eval_score_dir(json_dir, anno,
+                                             out_csv=str(tmp_path / "our.csv"),
+                                             softmax=softmax)
+    # the reference prints to 4dp — match the formatted figures exactly
+    assert f"Mean absolute error: {mae:.4f}, OBO acc: {obo:.4f}" in printed
+
+    ref_df = pd.read_csv(ref_csv, index_col="name")
+    ours = {r["name"]: r for r in rows}
+    assert set(ref_df.index) == set(ours.keys())
+    for name, row in ref_df.iterrows():
+        assert int(row["pred_count"]) == ours[name]["pred_count"], name
+        assert int(row["gt_count"]) == ours[name]["gt_count"], name
+        assert row["pred_rep"] == str(ours[name]["pred_rep"]), name
+        assert row["split"] == ours[name]["split"], name
+        assert row["action"] == ours[name]["action"], name
+    # exact metric recomputation from the per-video counts
+    ref_mae, ref_obo = ev.obo_mae(ref_df["pred_count"].tolist(),
+                                  ref_df["gt_count"].tolist())
+    assert (mae, obo) == (ref_mae, ref_obo)
+    # at least one video counted and one backgrounded (gate is non-trivial)
+    assert ref_df["pred_count"].max() > 0
+
+
+def test_analyze_count_reference_bit_match(tmp_path, capsys):
+    import pandas as pd
+
+    ev = load_ref_eval()
+    json_dir, anno = _make_score_dir(tmp_path, n_classes=2, seed=4)
+    eval_csv = str(tmp_path / "eval.csv")
+    counting.eval_score_dir(json_dir, anno, out_csv=eval_csv)
+
+    ref_out = str(tmp_path / "ref_meta.csv")
+    with pandas_append_shim():
+        ev.analyze_count(eval_csv, ref_out)
+    capsys.readouterr()
+    our_df = counting.analyze_count(eval_csv)
+    ref_df = pd.read_csv(ref_out, index_col=0)
+
+    assert list(ref_df.columns) == list(our_df.columns)
+    assert len(ref_df) == len(our_df) == len(ACTIONS) * len(SPLITS) + len(SPLITS)
+    assert ref_df["action"].tolist() == our_df["action"].tolist()
+    assert ref_df["split"].tolist() == our_df["split"].tolist()
+    for col in ("mae", "obo_acc", "total", "avg_count"):
+        np.testing.assert_allclose(our_df[col].to_numpy(float),
+                                   ref_df[col].to_numpy(float), atol=0,
+                                   err_msg=col)
+
+
+# ------------------------------------------------------------- model ops
+
+
+def test_temporal_shift_reference_executable():
+    """Reference TemporalShift.shift (copy AND in-place autograd variants)
+    vs our XLA shift — bit-exact through a layout transpose."""
+    import jax
+    from workoutdetector_tpu.ops.temporal_shift import (temporal_shift,
+                                                        temporal_shift_flat)
+
+    tsm = load_ref_tsm()
+    rng = np.random.default_rng(5)
+    for b, t, c, hw, fold_div in [(2, 4, 16, 5, 8), (1, 8, 24, 3, 8),
+                                  (3, 2, 8, 4, 4)]:
+        x = rng.normal(size=(b * t, c, hw, hw)).astype(np.float32)
+        ref = tsm.TemporalShift.shift(torch.from_numpy(x.copy()), t,
+                                      fold_div=fold_div,
+                                      inplace=False).numpy()
+        ref_inplace = tsm.InplaceShift.apply(
+            torch.from_numpy(x.copy()).view(b, t, c, hw, hw),
+            c // fold_div).view(b * t, c, hw, hw).numpy()
+        # forward of the in-place autograd variant == the copy variant
+        np.testing.assert_array_equal(ref_inplace, ref)
+
+        x_nhwc = np.transpose(x.reshape(b, t, c, hw, hw), (0, 1, 3, 4, 2))
+        got = np.asarray(temporal_shift(jax.numpy.asarray(x_nhwc), fold_div))
+        got_nchw = np.transpose(got, (0, 1, 4, 2, 3)).reshape(b * t, c, hw, hw)
+        np.testing.assert_array_equal(got_nchw, ref)
+
+        flat = np.transpose(x, (0, 2, 3, 1))  # (B*T, H, W, C)
+        got_flat = np.asarray(
+            temporal_shift_flat(jax.numpy.asarray(flat), t, fold_div))
+        np.testing.assert_array_equal(
+            np.transpose(got_flat, (0, 3, 1, 2)), ref)
+
+
+def test_temporal_pool_reference_executable():
+    """Reference TemporalPool.temporal_pool vs the max(3,s2,p1)-over-T our
+    TSM stage hook applies — checked through the flax model's pool math by
+    replicating it with jax ops on the same tensor."""
+    import jax.numpy as jnp
+
+    tsm = load_ref_tsm()
+    rng = np.random.default_rng(6)
+    b, t, c, hw = 2, 8, 6, 4
+    x = rng.normal(size=(b * t, c, hw, hw)).astype(np.float32)
+    ref = tsm.TemporalPool.temporal_pool(torch.from_numpy(x.copy()),
+                                         n_segment=t).numpy()
+
+    # our formulation (models/tsm.py _stage_hook): window-3 stride-2 pad-1
+    # max over T on (B, T, H, W, C)
+    v = jnp.asarray(np.transpose(x.reshape(b, t, c, hw, hw), (0, 1, 3, 4, 2)))
+    padded = jnp.pad(v, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)),
+                     constant_values=-jnp.inf)
+    windows = jnp.stack([padded[:, i:i + t:2] for i in range(3)], axis=0)
+    pooled = jnp.max(windows, axis=0)
+    got = np.transpose(np.asarray(pooled), (0, 1, 4, 2, 3)).reshape(
+        b * t // 2, c, hw, hw)
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("shift_place", ["blockres", "block"])
+def test_reference_tsm_model_exec_parity(shift_place):
+    """The genuine reference TSM module (create_model → shift injection →
+    forward with consensus), ported via models.convert, matches our flax
+    TSM logits. The backbone is layout-identical TorchResNet (torchvision
+    absent); everything wrapping it is reference code executing."""
+    import jax
+    import jax.numpy as jnp
+
+    from workoutdetector_tpu.models import TSM
+    from workoutdetector_tpu.models.convert import port_tsm_checkpoint
+    from test_parity_torch import _randomize_bn
+
+    tsm = load_ref_tsm()
+    torch.manual_seed(0)
+    tmodel = tsm.create_model(num_class=5, num_segments=4,
+                              base_model="resnet18", checkpoint=None,
+                              device="cpu", shift_place=shift_place)
+    # NOTE reference quirk: TSM.train() returns None (unlike nn.Module), so
+    # .eval() — which returns self.train(False) — returns None; call it as
+    # a statement (the reference's own __main__ does the same).
+    tmodel.eval()
+    _randomize_bn(tmodel, seed=7)
+
+    fmodel = TSM(num_class=5, num_segments=4, base_model="resnet18",
+                 shift_place=shift_place, dropout=0.0, dtype=jnp.float32)
+    init = fmodel.init({"params": jax.random.PRNGKey(0)},
+                       jnp.zeros((1, 4, 32, 32, 3), jnp.float32), train=False)
+    tree = port_tsm_checkpoint(tmodel.state_dict(), num_class=5,
+                               target_params=init["params"])
+    variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+
+    rng = np.random.default_rng(8)
+    xn = rng.normal(0, 1, (2, 4, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(
+            np.transpose(xn, (0, 1, 4, 2, 3)).reshape(8, 3, 32, 32).copy()))
+    f_out = np.asarray(fmodel.apply(variables, jnp.asarray(xn), train=False))
+    assert f_out.shape == tuple(t_out.shape) == (2, 5)
+    np.testing.assert_allclose(f_out, t_out.numpy(), atol=1e-4, rtol=1e-4)
+
+
+# ------------------------------------------------------------- sampling
+
+
+def test_sample_frames_reference_executable():
+    from workoutdetector_tpu.data.sampling import sample_frames
+
+    tr = load_ref_transform()
+    for total in (1, 2, 3, 4, 7, 8, 10, 16, 40, 100, 301):
+        for num in (1, 4, 8, 16):
+            for offset in (0, 5):
+                ref = tr.sample_frames(total, num, offset, random=False)
+                got = sample_frames(total, num, offset, random=False)
+                assert got == list(ref), (total, num, offset)
