@@ -52,6 +52,20 @@ def _stub_fn(*args, **kwargs):  # pragma: no cover - guard
     raise RuntimeError("stubbed reference dependency used at runtime")
 
 
+def _verify_str_arg(value, arg=None, valid_values=None, custom_msg=None):
+    """Behavioral shim of torchvision.datasets.utils.verify_str_arg —
+    called at runtime by reference dataset constructors, so the stub must
+    actually validate (same contract: return the value or raise)."""
+    if not isinstance(value, str):
+        raise ValueError(f"Expected type str for argument {arg}, "
+                         f"but got type {type(value)}.")
+    if valid_values is not None and value not in valid_values:
+        raise ValueError(custom_msg or
+                         f"Unknown value '{value}' for argument {arg}. "
+                         f"Valid values are {{{', '.join(valid_values)}}}.")
+    return value
+
+
 def _mod(name: str, **attrs) -> types.ModuleType:
     m = types.ModuleType(name)
     m.__dict__.update(attrs)
@@ -94,8 +108,14 @@ def _torchvision_stubs() -> Dict[str, types.ModuleType]:
                  resize=_stub_fn, crop=_stub_fn, center_crop=_stub_fn,
                  normalize=_stub_fn, hflip=_stub_fn, resized_crop=_stub_fn)
     transforms.functional = tfunc
-    tio = _mod("torchvision.io", read_video=_stub_fn, write_video=_stub_fn)
-    tv = _mod("torchvision", models=models, transforms=transforms, io=tio)
+    tio = _mod("torchvision.io", read_video=_stub_fn, write_video=_stub_fn,
+               read_image=_stub_fn)
+    dutils = _mod("torchvision.datasets.utils",
+                  download_and_extract_archive=_stub_fn,
+                  verify_str_arg=_verify_str_arg)
+    datasets = _mod("torchvision.datasets", utils=dutils)
+    tv = _mod("torchvision", models=models, transforms=transforms, io=tio,
+              datasets=datasets)
     return {
         "torchvision": tv,
         "torchvision.models": models,
@@ -103,6 +123,8 @@ def _torchvision_stubs() -> Dict[str, types.ModuleType]:
         "torchvision.transforms": transforms,
         "torchvision.transforms.functional": tfunc,
         "torchvision.io": tio,
+        "torchvision.datasets": datasets,
+        "torchvision.datasets.utils": dutils,
     }
 
 
@@ -241,11 +263,51 @@ def load_ref_tsm() -> types.ModuleType:
                                  "_ref_tsm", mods)
 
 
+def load_ref_tsn() -> types.ModuleType:
+    """reference workoutdetector/models/tsn.py — pure torch, no stubs."""
+    return load_reference_module("workoutdetector/models/tsn.py",
+                                 "_ref_tsn", {})
+
+
+def load_ref_tdn() -> types.ModuleType:
+    """reference workoutdetector/models/tdn.py — the real TDN/FBResNet code,
+    with the genuine reference TSN wrapper wired in (loaded executable)."""
+    tsn = load_ref_tsn()
+    models = _mod("workoutdetector.models", TSN=tsn.TSN,
+                  get_scheduler=_stub_fn)
+    pkg = _mod("workoutdetector", models=models)
+    mods = {"workoutdetector": pkg, "workoutdetector.models": models}
+    return load_reference_module("workoutdetector/models/tdn.py",
+                                 "_ref_tdn", mods)
+
+
 def load_ref_transform() -> types.ModuleType:
     """reference workoutdetector/datasets/transform.py (sample_frames &co)."""
     mods = _torchvision_stubs()
     return load_reference_module("workoutdetector/datasets/transform.py",
                                  "_ref_transform", mods)
+
+
+def load_ref_repcount_dataset() -> types.ModuleType:
+    """reference workoutdetector/datasets/repcount_dataset.py
+    (RepcountHelper / RepcountItem / eval_count), with the genuine
+    reference sample_frames wired in."""
+    tr = load_ref_transform()
+    mods: Dict[str, types.ModuleType] = {}
+    mods.update(_torchvision_stubs())
+    transform = _mod("workoutdetector.datasets.transform",
+                     sample_frames=tr.sample_frames)
+    datasets = _mod("workoutdetector.datasets", transform=transform)
+    settings = _mod("workoutdetector.settings", PROJ_ROOT=REF_ROOT,
+                    DATA_ROOT=os.path.join(REF_ROOT, "datasets"))
+    pkg = _mod("workoutdetector", datasets=datasets, settings=settings)
+    mods.update({"workoutdetector": pkg,
+                 "workoutdetector.datasets": datasets,
+                 "workoutdetector.datasets.transform": transform,
+                 "workoutdetector.settings": settings})
+    return load_reference_module(
+        "workoutdetector/datasets/repcount_dataset.py",
+        "_ref_repcount_dataset", mods)
 
 
 @contextlib.contextmanager

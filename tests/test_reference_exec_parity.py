@@ -33,8 +33,9 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
-from reference_exec import (load_ref_eval, load_ref_inference_count,
-                            load_ref_transform, load_ref_tsm,
+from reference_exec import (REF_ROOT, load_ref_eval,
+                            load_ref_inference_count, load_ref_repcount_dataset,
+                            load_ref_tdn, load_ref_transform, load_ref_tsm,
                             load_ref_visualize, pandas_append_shim,
                             reference_available)
 
@@ -311,7 +312,117 @@ def test_reference_tsm_model_exec_parity(shift_place):
     np.testing.assert_allclose(f_out, t_out.numpy(), atol=1e-4, rtol=1e-4)
 
 
+def test_reference_tdn_model_exec_parity(tmp_path, monkeypatch):
+    """The genuine reference TDN (models/tdn.py FBResNet/BottleneckShift/
+    mSEModule/ShiftModule + models/tsn.py TSN wrapper), built through the
+    reference's own create_model — including its local-pretrained-checkpoint
+    load branch — ported via port_tdn_checkpoint and matched by our flax
+    TDN. 64×64 is the smallest size the reference's fixed stem pools
+    accept."""
+    import jax
+    import jax.numpy as jnp
+
+    from workoutdetector_tpu.models.convert import port_tdn_checkpoint
+    from workoutdetector_tpu.models.tdn import TDN
+
+    tdn = load_ref_tdn()
+    # the reference backbone factory loads a local file
+    # 'checkpoints/finetune/resnet50-19c8e357.pth' relative to CWD when
+    # pretrained=True (the default reached through TSN._prepare_base_model);
+    # pre-seed it so that branch executes too (zero egress — the weights are
+    # a fresh FBResNet's own state dict).
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "checkpoints" / "finetune").mkdir(parents=True)
+    torch.manual_seed(1)
+    seed_sd = tdn.fbresnet50(4, pretrained=False).state_dict()
+    torch.save(seed_sd, str(tmp_path / "checkpoints" / "finetune" /
+                            "resnet50-19c8e357.pth"))
+
+    torch.manual_seed(0)
+    tmodel = tdn.create_model(num_class=3, num_segments=4,
+                              base_model="resnet50", num_frames=5,
+                              checkpoint=None, dropout=0.5)
+    tmodel.eval()  # reference train() returns None — statement, not chain
+    # mild BN randomization: still exercises every running-stat mapping but
+    # keeps fp32 accumulation over the 50-layer net tight (~3e-6 observed;
+    # aggressive gamma∈[0.5,1.5] compounds to |logits|≈240 and ~0.04 drift)
+    g = torch.Generator().manual_seed(2)
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0.0, 0.05, generator=g)
+                m.running_var.uniform_(0.9, 1.1, generator=g)
+                m.weight.uniform_(0.9, 1.1, generator=g)
+                m.bias.normal_(0.0, 0.02, generator=g)
+
+    fmodel = TDN(num_class=3, num_segments=4, num_frames=5, dropout=0.0,
+                 dtype=jnp.float32)
+    init = fmodel.init({"params": jax.random.PRNGKey(0)},
+                       jnp.zeros((1, 4, 5, 64, 64, 3), jnp.float32),
+                       train=False)
+    tree = port_tdn_checkpoint(tmodel.state_dict(), num_class=3,
+                               target_params=init["params"])
+    variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+
+    rng = np.random.default_rng(9)
+    xn = rng.normal(0, 1, (1, 4, 5, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(
+            np.transpose(xn, (0, 1, 2, 5, 3, 4)).copy())).numpy()
+    f_out = np.asarray(fmodel.apply(variables, jnp.asarray(xn), train=False))
+    assert f_out.shape == t_out.shape == (1, 3)
+    np.testing.assert_allclose(f_out, t_out, atol=1e-4, rtol=1e-4)
+
+
 # ------------------------------------------------------------- sampling
+
+
+def test_repcount_helper_reference_executable(tmp_path):
+    """Reference RepcountHelper (datasets/repcount_dataset.py:152-251),
+    executing over the REAL shipped annotation pack, vs ours: identical
+    item dicts (names, classes, counts, rep boundaries, splits, paths) and
+    bit-equal eval_count metrics — including the divide-by-items quirk our
+    docstring pins."""
+    anno = os.path.join(REF_ROOT, "datasets", "RepCount", "annotation.csv")
+    if not os.path.isfile(anno):
+        pytest.skip("reference annotation pack not shipped")
+
+    from workoutdetector_tpu.data.repcount import RepcountHelper
+
+    rd = load_ref_repcount_dataset()
+    root = str(tmp_path)
+    ref_helper = rd.RepcountHelper(root, anno)
+    our_helper = RepcountHelper(root, anno)
+    assert ref_helper.classes == our_helper.classes
+
+    splits = ["train", "val", "test"]
+    ref_items = ref_helper.get_rep_data(splits, ["all"])
+    our_items = our_helper.get_rep_data(splits, ["all"])
+    assert set(ref_items) == set(our_items) and len(ref_items) > 700
+    for name, ref_it in ref_items.items():
+        it = our_items[name]
+        for field in ("video_path", "frames_path", "total_frames", "class_",
+                      "count", "reps", "split", "video_name"):
+            assert it[field] == ref_it[field], (name, field)
+
+    # eval_count: perturb ground truth deterministically (+1 every 3rd,
+    # -1 every 7th) over the val split, compare metrics bit-for-bit
+    val_ref = ref_helper.get_rep_data(["val"], ["all"])
+    pred = {name: max(0, item.count + (i % 3 == 0) - (i % 7 == 0))
+            for i, (name, item) in enumerate(sorted(val_ref.items()))}
+    ref_mae, ref_obo, ref_pred = ref_helper.eval_count(pred, ["val"], ["all"])
+    our_mae, our_obo, our_pred = our_helper.eval_count(pred, ["val"], ["all"])
+    assert (our_mae, our_obo) == (ref_mae, ref_obo)
+    assert set(ref_pred) == set(our_pred)
+    for name in ref_pred:
+        assert our_pred[name].mae == ref_pred[name].mae
+        assert our_pred[name].obo_acc == ref_pred[name].obo_acc
+        assert our_pred[name].pred_count == ref_pred[name].pred_count
+
+    # module-level eval_count (repcount_dataset.py:104-112) vs counting
+    preds = [it.count for it in list(val_ref.values())[:40]]
+    gts = [max(0, p + (i % 4 == 1) * 2 - (i % 5 == 2)) for i, p in enumerate(preds)]
+    assert counting.obo_mae(preds, gts) == tuple(rd.eval_count(preds, gts))
 
 
 def test_sample_frames_reference_executable():
