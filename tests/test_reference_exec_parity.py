@@ -425,6 +425,89 @@ def test_repcount_helper_reference_executable(tmp_path):
     assert counting.obo_mae(preds, gts) == tuple(rd.eval_count(preds, gts))
 
 
+def test_build_label_list_reference_executable(tmp_path, capsys):
+    """Reference build_label_list (repcount_dataset.py:18-85) and ours,
+    both run over the REAL shipped annotation pack, write byte-identical
+    train/val/test.txt image manifests."""
+    anno = os.path.join(REF_ROOT, "datasets", "RepCount", "annotation.csv")
+    if not os.path.isfile(anno):
+        pytest.skip("reference annotation pack not shipped")
+
+    from workoutdetector_tpu.data.repcount import ACTIONS, build_label_list
+
+    rd = load_ref_repcount_dataset()
+    ref_out = tmp_path / "ref"
+    our_out = tmp_path / "ours"
+    rd.build_label_list(str(tmp_path / "RepCount"), anno, list(ACTIONS),
+                        str(ref_out), overwrite=True)
+    capsys.readouterr()
+    build_label_list(str(tmp_path / "RepCount"), anno, list(ACTIONS),
+                     str(our_out), overwrite=True)
+    for split in ("train", "val", "test"):
+        ref_txt = (ref_out / f"{split}.txt").read_text()
+        our_txt = (our_out / f"{split}.txt").read_text()
+        assert ref_txt and ref_txt == our_txt, split
+
+
+def test_optim_policies_reference_executable():
+    """Reference TSM.get_optim_policies (models/tsm.py:304-408), executing
+    on the real module tree, vs our path-based label_params on the ported
+    flax params: per-group lr/decay multipliers, tensor counts and total
+    element counts all agree (partial-BN freezing = our 'frozen' label =
+    tensors absent from every reference group)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    from workoutdetector_tpu.models import TSM
+    from workoutdetector_tpu.models.convert import port_tsm_checkpoint
+    from workoutdetector_tpu.train.optim import POLICY_TABLE, label_params
+
+    tsm = load_ref_tsm()
+    torch.manual_seed(0)
+    tmodel = tsm.create_model(num_class=5, num_segments=4,
+                              base_model="resnet18", checkpoint=None,
+                              device="cpu", fc_lr5=True)
+    # latent reference bug: TSM.get_optim_policies reads self.modality
+    # (models/tsm.py:446) but only the TSN wrapper ever sets it — executing
+    # the walk requires supplying the attribute TSN provides (tsn.py:129)
+    tmodel.modality = "RGB"
+    groups = tmodel.get_optim_policies()
+
+    fmodel = TSM(num_class=5, num_segments=4, base_model="resnet18",
+                 dropout=0.0, dtype=jnp.float32)
+    init = fmodel.init({"params": jax.random.PRNGKey(0)},
+                       jnp.zeros((1, 4, 32, 32, 3), jnp.float32), train=False)
+    tree = port_tsm_checkpoint(tmodel.state_dict(), num_class=5,
+                               target_params=init["params"])
+    labels = traverse_util.flatten_dict(
+        label_params(tree["params"], partial_bn=True, fc_lr5=True))
+    flat = traverse_util.flatten_dict(tree["params"])
+
+    ours = {}
+    for path, lab in labels.items():
+        n, numel = ours.get(lab, (0, 0))
+        ours[lab] = (n + 1, numel + int(np.asarray(flat[path]).size))
+
+    ref_total = 0
+    for g in groups:
+        # the reference names the BN group "BN scale/shift"; ours is 'bn'
+        name = {"BN scale/shift": "bn"}.get(g["name"], g["name"])
+        params = g["params"]
+        if not params:
+            assert name not in ours or name == "first_conv_bias", name
+            continue
+        ref_total += len(params)
+        assert POLICY_TABLE[name] == (g["lr_mult"], g["decay_mult"]), name
+        n, numel = ours.get(name, (0, 0))
+        assert n == len(params), (name, n, len(params))
+        assert numel == sum(p.numel() for p in params), name
+    # partial-BN: tensors in NO reference group == our 'frozen' label
+    n_frozen = ours.get("frozen", (0, 0))[0]
+    assert ref_total + n_frozen == len(labels)
+    assert n_frozen > 0
+
+
 def test_sample_frames_reference_executable():
     from workoutdetector_tpu.data.sampling import sample_frames
 
