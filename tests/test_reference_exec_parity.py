@@ -209,6 +209,179 @@ def test_analyze_count_reference_bit_match(tmp_path, capsys):
                                    err_msg=col)
 
 
+def test_reference_inference_dataset_exec_windowing_parity(tmp_path,
+                                                           monkeypatch,
+                                                           capsys):
+    """The reference's inference_dataset loop EXECUTES end-to-end
+    (utils/inference_count.py:351-421: RepcountHelper walk, window starts
+    every 8 frames, vid[i:i+16:2] sparse sampling, tail zero-pad, the ONNX
+    inference_video call path, score-JSON schema + naming) with its model
+    calls served by OUR engine through a session shim; our
+    inference_dataset over the same videos and weights produces score
+    JSONs with identical window keys, near-identical scores, and identical
+    downstream counts. This pins the windowing semantics our engine
+    claims, against the code that defines them."""
+    import cv2
+    import pandas as pd
+
+    import jax
+    import jax.numpy as jnp
+
+    from test_infer import SIZE, BrightnessModel, _write_video
+    from workoutdetector_tpu.data.video import VideoReader
+    from workoutdetector_tpu.infer import InferenceEngine, inference_dataset
+    from workoutdetector_tpu.scripts.compare_scores import compare_dirs
+
+    ic = load_ref_inference_count()
+    # the loader stubs the workoutdetector package; wire the GENUINE
+    # reference RepcountHelper (itself loaded executable) back in
+    ic.RepcountHelper = load_ref_repcount_dataset().RepcountHelper
+
+    model = BrightnessModel()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8, SIZE, SIZE, 3)))
+    engine = InferenceEngine(model, variables, num_segments=8,
+                             window_batch=4, image_size=SIZE)
+
+    # dataset at the hardcoded reference location (~/data/RepCount)
+    monkeypatch.setenv("HOME", str(tmp_path))
+    root = tmp_path / "data" / "RepCount"
+    (root / "videos" / "val").mkdir(parents=True)
+    names = []
+    for v, pattern in enumerate(([40, 220, 40, 220, 40, 220],
+                                 [220, 40, 220, 40],
+                                 [40, 40, 220, 220, 40])):
+        name = f"v{v}.mp4"
+        # 9 frames per state: total not divisible by the 8-frame step, so
+        # the tail zero-pad branch executes on every video
+        _write_video(root / "videos" / "val" / name, pattern,
+                     frames_per_state=9)
+        names.append(name)
+    pd.DataFrame({
+        "name": names, "class_": ["squat"] * 3, "split": ["val"] * 3,
+        "count": [3, 2, 1], "reps": ["0 9 18 27 36 45"] * 3,
+        "vid": names, "start": [0] * 3, "end": [0] * 3,
+    }).to_csv(root / "annotation.csv")
+
+    # both stacks must see the same pixels: back the reference's read_video
+    # with our prep decode (float, so its torch.cat zero-pad — which runs on
+    # EVERY window because `len(clip) < 16` is always true for an 8-frame
+    # sparse sample — doesn't dtype-clash with the uint8 frames)
+    def read_video(path, **kwargs):
+        with VideoReader(path) as r:
+            v = r.read_prepped(256, SIZE)
+        return torch.from_numpy(v).float(), None, {}
+
+    ic.read_video = read_video
+    ic.build_test_transform = lambda person_crop=False: (lambda x: x)
+
+    class EngineSession(ic.onnxruntime.InferenceSession):
+        """The reference treats the model as an onnxruntime session; serve
+        those calls from our engine (prep is identity-exact: float frames
+        are integral, so the uint8 round-trip loses nothing)."""
+
+        def get_inputs(self):
+            return [types.SimpleNamespace(name="input")]
+
+        def run(self, _, feed):
+            x = feed["input"]  # (1, 8, 3, H, W) float
+            u8 = np.transpose(x, (0, 1, 3, 4, 2)).astype(np.uint8)
+            return [np.asarray(engine.score_windows(u8))]
+
+    ref_out = tmp_path / "ref_scores"
+    ic.inference_dataset(EngineSession(), ["val"], str(ref_out),
+                         checkpoint="oracle")
+    capsys.readouterr()
+
+    our_out = tmp_path / "our_scores"
+    inference_dataset(engine, ["val"], str(our_out), checkpoint="oracle",
+                      data_root=str(root),
+                      anno_path=str(root / "annotation.csv"))
+
+    assert sorted(os.listdir(ref_out)) == sorted(os.listdir(our_out)) \
+        == sorted(f"{n}.score.json" for n in names)
+    for f in sorted(os.listdir(ref_out)):
+        ref = json.load(open(ref_out / f))
+        ours = json.load(open(our_out / f))
+        assert list(ref["scores"].keys()) == list(ours["scores"].keys()), f
+        assert ref["total_frames"] == ours["total_frames"]
+        assert ref["ground_truth"] == ours["ground_truth"]
+        assert ref["action"] == ours["action"]
+    res = compare_dirs(str(ref_out), str(our_out), threshold=0.5,
+                       softmax=True)
+    assert res["videos"] == 3
+    assert res["max_abs_score_delta"] < 1e-4, res
+    assert res["mean_argmax_agreement"] == 1.0, res
+    assert res["count_agreement"] == 1.0, res
+    assert res["mean_count_diff"] == 0.0, res
+
+
+def test_reference_count_by_video_model_exec_parity(tmp_path, capsys):
+    """The reference's count_by_video_model EXECUTES (cv2 frame loop,
+    8-frame deque, non-overlapping chunks, dropped tail, pred_to_count
+    wiring; utils/inference_count.py:285-339) and agrees with ours on
+    counts and rep boundaries.
+
+    Two latent reference bugs keep the function from running as written —
+    both shimmed at the inference_video seam, everything else executes
+    verbatim: (1) it calls inference_video without a transform, which the
+    ONNX branch asserts on; (2) it takes `pred[0][0]` as the class, which
+    assumes the score-sorted output inference_video's own docstring shows
+    (:238) but the implementation returns enumerate() order — unpatched,
+    every chunk would classify as class 0."""
+    import jax
+    import jax.numpy as jnp
+
+    from test_infer import SIZE, BrightnessModel, _write_video
+    from workoutdetector_tpu.data.transforms import (center_crop,
+                                                     resize_short_side)
+    from workoutdetector_tpu.infer import InferenceEngine
+    from workoutdetector_tpu.infer.inference_count import count_by_video_model
+
+    ic = load_ref_inference_count()
+    model = BrightnessModel()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8, SIZE, SIZE, 3)))
+    engine = InferenceEngine(model, variables, num_segments=8,
+                             window_batch=4, image_size=SIZE)
+
+    def prep_transform(x):
+        # the engine's deployment geometry on the raw frames the reference
+        # loop queues (BGR→RGB already done by the loop)
+        clip = x.numpy().astype(np.uint8)
+        clip = center_crop(resize_short_side(clip, 256), SIZE)
+        return torch.from_numpy(clip).float()
+
+    class EngineSession(ic.onnxruntime.InferenceSession):
+        def get_inputs(self):
+            return [types.SimpleNamespace(name="input")]
+
+        def run(self, _, feed):
+            u8 = feed["input"].astype(np.uint8)  # (1, 8, SIZE, SIZE, 3)
+            return [np.asarray(engine.score_windows(u8))]
+
+    orig_inference_video = ic.inference_video
+
+    def patched_inference_video(m, inputs, threshold=0.5, transform=None):
+        pred = orig_inference_video(m, inputs, threshold,
+                                    transform or prep_transform)
+        return sorted(pred, key=lambda t: -t[1])  # the documented contract
+
+    ic.inference_video = patched_inference_video
+
+    # 9 frames/state: 54 frames → 6 full chunks + a dropped 6-frame tail;
+    # chunk boundaries straddle state changes, so the gate is sensitive to
+    # off-by-one windowing
+    path = _write_video(tmp_path / "v.mp4", [40, 220, 40, 220, 40, 220],
+                        frames_per_state=9)
+    ref_count, ref_reps = ic.count_by_video_model(EngineSession(), path,
+                                                  ground_truth=[0, 9, 18, 27])
+    capsys.readouterr()
+    our_count, our_reps = count_by_video_model(engine, path)
+    assert (our_count, our_reps) == (ref_count, list(ref_reps))
+    assert ref_count > 0  # non-trivial: transitions actually counted
+
+
 # ------------------------------------------------------------- model ops
 
 
