@@ -19,6 +19,13 @@ child-slicing and forward run unmodified on a layout-identical backbone.
 
 Tests must gate on :func:`reference_available` (the reference tree is not
 guaranteed to be mounted everywhere the suite runs).
+
+Security note: this executes the untrusted public reference tree
+in-process at test time (import-time side effects included). Mitigations:
+the mount is read-only, loading is skipped wherever the tree is absent,
+and stubs raise on any runtime use. Keep these gates confined to the
+sandboxed CI image and load only the reference modules a parity gate
+actually needs — don't grow this into a general reference importer.
 """
 
 from __future__ import annotations
@@ -87,7 +94,11 @@ def _torchvision_stubs() -> Dict[str, types.ModuleType]:
             # pretrained weights can't be fetched (zero egress); the parity
             # gates port whatever weights the reference model ends up with,
             # so random init is fine.
-            return TorchResNet(arch, num_classes=1000)
+            num_classes = kwargs.pop("num_classes", 1000)
+            # any other kwarg would silently diverge from torchvision's
+            # factory semantics — fail loudly instead
+            assert not kwargs, f"unsupported torchvision factory kwargs: {kwargs}"
+            return TorchResNet(arch, num_classes=num_classes)
 
         return make
 
@@ -170,6 +181,12 @@ def _stubbed(mods: Dict[str, types.ModuleType]):
     Never shadows a module that is genuinely importable in this image, and
     restores sys.modules exactly afterwards (the loaded reference module
     keeps working: its globals hold direct references to the stubs).
+
+    Limitation: because stubs are removed right after module exec, a
+    reference function that LAZILY ``import X`` at call time would raise
+    ImportError instead of hitting the stub. None of the gated call paths
+    do this today; a future gate that needs it should call the reference
+    inside ``with _stubbed(mods):`` to keep them installed for the call.
     """
     added = []
     for name, mod in mods.items():

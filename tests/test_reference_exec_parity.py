@@ -419,28 +419,34 @@ def test_temporal_shift_reference_executable():
 
 
 def test_temporal_pool_reference_executable():
-    """Reference TemporalPool.temporal_pool vs the max(3,s2,p1)-over-T our
-    TSM stage hook applies — checked through the flax model's pool math by
-    replicating it with jax ops on the same tensor."""
+    """Reference TemporalPool.temporal_pool vs the PRODUCTION TSM stage
+    hook (models/tsm.py _stage_hook — the max(3,s2,p1)-over-T pool the
+    shipped model applies in front of stage 2), called directly on the
+    same tensor."""
     import jax.numpy as jnp
+
+    from workoutdetector_tpu.models import TSM
 
     tsm = load_ref_tsm()
     rng = np.random.default_rng(6)
-    b, t, c, hw = 2, 8, 6, 4
-    x = rng.normal(size=(b * t, c, hw, hw)).astype(np.float32)
-    ref = tsm.TemporalPool.temporal_pool(torch.from_numpy(x.copy()),
-                                         n_segment=t).numpy()
+    for b, t, c, hw in [(2, 8, 6, 4), (1, 4, 3, 5)]:
+        x = rng.normal(size=(b * t, c, hw, hw)).astype(np.float32)
+        ref = tsm.TemporalPool.temporal_pool(torch.from_numpy(x.copy()),
+                                             n_segment=t).numpy()
 
-    # our formulation (models/tsm.py _stage_hook): window-3 stride-2 pad-1
-    # max over T on (B, T, H, W, C)
-    v = jnp.asarray(np.transpose(x.reshape(b, t, c, hw, hw), (0, 1, 3, 4, 2)))
-    padded = jnp.pad(v, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)),
-                     constant_values=-jnp.inf)
-    windows = jnp.stack([padded[:, i:i + t:2] for i in range(3)], axis=0)
-    pooled = jnp.max(windows, axis=0)
-    got = np.transpose(np.asarray(pooled), (0, 1, 4, 2, 3)).reshape(
-        b * t // 2, c, hw, hw)
-    np.testing.assert_array_equal(got, ref)
+        fmodel = TSM(num_class=2, num_segments=t, base_model="resnet18",
+                     temporal_pool=True, dtype=jnp.float32)
+        # the hook sees (B*T, H, W, C) and must halve T (stage_idx 1)
+        v = jnp.asarray(np.transpose(x.reshape(b, t, c, hw, hw),
+                                     (0, 1, 3, 4, 2)).reshape(b * t, hw, hw, c))
+        pooled = fmodel._stage_hook(v, stage_idx=1)
+        got = np.transpose(
+            np.asarray(pooled).reshape(b, t // 2, hw, hw, c),
+            (0, 1, 4, 2, 3)).reshape(b * t // 2, c, hw, hw)
+        np.testing.assert_array_equal(got, ref)
+        # every other stage passes through untouched
+        np.testing.assert_array_equal(
+            np.asarray(fmodel._stage_hook(v, stage_idx=0)), np.asarray(v))
 
 
 @pytest.mark.parametrize("shift_place", ["blockres", "block"])

@@ -384,3 +384,86 @@ def test_auto_resume_same_command_line(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state_full.params),
                     jax.tree_util.tree_leaves(state_res.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _scripted_evaluate(vals):
+    """Monkeypatch stand-in for Trainer.evaluate returning scripted
+    metrics; the list is consumed in call order (last entry repeats)."""
+    it = {"i": 0}
+
+    def fake_evaluate(self, state, loader):
+        v = vals[min(it["i"], len(vals) - 1)]
+        it["i"] += 1
+        return dict(v)
+
+    return fake_evaluate
+
+
+def test_early_stopping_honors_train_monitor(tmp_path, monkeypatch):
+    """`monitor: train/loss` (the defaults.yaml / reference
+    trainer.py:246-251 default) must stop on the TRAIN loss stream, not
+    silently on val. Regression: the loop used to consult only val
+    metrics regardless of the configured monitor."""
+    worsening_val = [{"acc": 0.5, "loss": 1.0 + 0.5 * i, "n": 8}
+                     for i in range(8)]
+
+    def cfg_es(monitor):
+        cfg = small_cfg(tmp_path / monitor.replace("/", "_"))
+        cfg.trainer.max_epochs = 4
+        cfg.trainer.enable_checkpointing = False
+        cfg.callbacks.early_stopping.enable = True
+        cfg.callbacks.early_stopping.mode = "min"
+        cfg.callbacks.early_stopping.monitor = monitor
+        return cfg
+
+    # val/loss monitor + strictly-worsening scripted val -> stops after
+    # epoch 2 (patience 1): 2 steps/epoch * 2 epochs = 4 steps
+    cfg = cfg_es("val/loss")
+    cfg.callbacks.early_stopping.patience = 1
+    monkeypatch.setattr(Trainer, "evaluate", _scripted_evaluate(worsening_val))
+    state, _ = Trainer(cfg).fit(ckpt_dir=str(tmp_path / "c1"))
+    assert int(state.step) == 4
+
+    # train/loss monitor + the SAME worsening val stream -> the val
+    # stream must be ignored; train loss decreases on DebugDataset so
+    # the run completes all 4 epochs
+    cfg = cfg_es("train/loss")
+    cfg.callbacks.early_stopping.patience = 3
+    monkeypatch.setattr(Trainer, "evaluate", _scripted_evaluate(worsening_val))
+    state, _ = Trainer(cfg).fit(ckpt_dir=str(tmp_path / "c2"))
+    assert int(state.step) == 8
+
+
+def test_train_reloads_best_before_test(tmp_path, monkeypatch):
+    """train() must test the BEST-val-acc checkpoint, not the end-of-run
+    state (the reference's documented intent at trainer.py:316-322 —
+    its own load_from_checkpoint return value is discarded, a latent
+    reference bug)."""
+    cfg = small_cfg(tmp_path)
+    cfg.trainer.max_epochs = 2
+    cfg.callbacks.modelcheckpoint.dirpath = str(tmp_path / "ckpt")
+    # val acc peaks at epoch 0 then collapses -> 'best' freezes at the
+    # end-of-epoch-0 state while training continues one more epoch
+    monkeypatch.setattr(
+        Trainer, "evaluate",
+        _scripted_evaluate([{"acc": 0.9, "loss": 0.1, "n": 8},
+                            {"acc": 0.1, "loss": 9.0, "n": 8}]))
+    seen = {}
+    orig_test = Trainer.test
+
+    def spy_test(self, state):
+        seen["params"] = jax.tree_util.tree_map(np.asarray, state.params)
+        return orig_test(self, state)
+
+    monkeypatch.setattr(Trainer, "test", spy_test)
+    train(cfg)
+
+    from workoutdetector_tpu.train.checkpoint import CheckpointManager
+    mgr = CheckpointManager(cfg.callbacks.modelcheckpoint.dirpath)
+    best = mgr.restore_variables("best", prefer_ema=False)["params"]
+    last = mgr.restore_variables("last", prefer_ema=False)["params"]
+    leaf = lambda p: np.asarray(p["backbone"]["conv1"]["kernel"])
+    # the state handed to test() is the best checkpoint...
+    np.testing.assert_array_equal(leaf(seen["params"]), leaf(best))
+    # ...which genuinely differs from the final state
+    assert not np.array_equal(leaf(best), leaf(last))

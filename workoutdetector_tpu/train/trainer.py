@@ -348,6 +348,7 @@ class Trainer:
             ckpt_dir = cfg.callbacks.modelcheckpoint.dirpath or log_dir
         from workoutdetector_tpu.train.checkpoint import CheckpointManager
         ckpt = CheckpointManager(ckpt_dir) if cfg.trainer.enable_checkpointing else None
+        self._ckpt = ckpt  # train() reloads 'best' from here before test()
         resume_from = cfg.trainer.resume_from_checkpoint
         if resume_from == "auto":
             # production convenience: the SAME command line restarts a
@@ -406,9 +407,16 @@ class Trainer:
         from workoutdetector_tpu.utils.profiling import StepTimer
         timer = StepTimer()
         profiling = False
+        es = cfg.callbacks.early_stopping
+        # the monitor decides which metric stream feeds early stopping
+        # (reference trainer.py:246-251 monitors train/loss) — fetching
+        # train metrics every step costs a host sync, so only do it when
+        # the configured monitor actually asks for the train stream
+        es_on_train = es.enable and es.monitor.startswith("train")
         for epoch in range(start_epoch, max_epochs):
             train_loader.set_epoch(
                 epoch, start_batch=resume_skip if epoch == start_epoch else 0)
+            epoch_loss_sum, epoch_acc_sum, epoch_steps = 0.0, 0.0, 0
             # device prefetch: batch k+1's H2D overlaps batch k's compute
             for bx, by in prefetch_to_device(iter(train_loader), self.mesh):
                 # trace steps [2, 2 + profile_steps): step 1 pays compile
@@ -417,6 +425,10 @@ class Trainer:
                     profiling = True
                 state, metrics = train_step(state, bx, by)
                 global_step += 1
+                if es_on_train:
+                    epoch_loss_sum += float(metrics["loss"])
+                    epoch_acc_sum += float(metrics["acc"])
+                    epoch_steps += 1
                 timer.tick()
                 if profiling and global_step >= 1 + cfg.log.profile_steps:
                     jax.block_until_ready(metrics["loss"])
@@ -459,11 +471,17 @@ class Trainer:
                                         "timestamp": timestamp})
                 loggers.log_metrics({"val/best_acc": self.best_val_acc},
                                     step=global_step)
-                # EarlyStopping on a monitored metric (reference
-                # trainer.py:246-251: monitor train/loss, mode min)
-                es = cfg.callbacks.early_stopping
+                # EarlyStopping on the CONFIGURED monitor (reference
+                # trainer.py:246-251: monitor train/loss, mode min).
+                # train/* monitors use the epoch mean of the train stream;
+                # val/* monitors use this epoch's validation metrics.
                 if es.enable:
-                    metric = val["loss"] if "loss" in es.monitor else val["acc"]
+                    if es_on_train:
+                        src = {"loss": epoch_loss_sum / max(epoch_steps, 1),
+                               "acc": epoch_acc_sum / max(epoch_steps, 1)}
+                    else:
+                        src = val
+                    metric = src["loss"] if "loss" in es.monitor else src["acc"]
                     better = (metric < self._es_best) if es.mode == "min" else \
                         (metric > self._es_best)
                     if better:
@@ -500,10 +518,23 @@ class Trainer:
 
 
 def train(cfg: Config) -> Dict[str, float]:
-    """Top-level train entry (reference trainer.py:213-322 train())."""
+    """Top-level train entry (reference trainer.py:213-322 train()).
+
+    Tests the BEST-val-acc checkpoint, not the end-of-run state: the
+    reference intends this too (trainer.py:316-322 calls
+    ``model.load_from_checkpoint(best_model_path)``) but DISCARDS the
+    return value — ``load_from_checkpoint`` is a classmethod returning a
+    new module, so the reference actually tests its final weights (a
+    latent reference bug, same adjudication as the shimmed
+    inference_video bugs in tests/reference_exec.py). We implement the
+    documented intent: reload 'best' before test() when it exists.
+    """
     trainer = Trainer(cfg)
     state, history = trainer.fit()
     if not cfg.trainer.fast_dev_run:
+        ckpt = getattr(trainer, "_ckpt", None)
+        if ckpt is not None and ckpt.exists("best"):
+            state, _ = ckpt.restore("best", state)
         history.update({f"test/{k}": v for k, v in trainer.test(state).items()})
     return history
 
