@@ -115,8 +115,16 @@ def _torchvision_stubs() -> Dict[str, types.ModuleType]:
                 "RandomHorizontalFlip", "RandomCrop", "ColorJitter",
                 "Lambda"):
         setattr(transforms, cls, type(cls, (_StubClass,), {}))
+    def _tf_crop(img, top, left, height, width):
+        # behavioral shim of torchvision.transforms.functional.crop for
+        # in-bounds crops (the only case the gated reference transforms
+        # produce); out-of-bounds would need torchvision's pad semantics
+        assert 0 <= top and 0 <= left and top + height <= img.shape[-2] \
+            and left + width <= img.shape[-1], "crop out of bounds"
+        return img[..., top:top + height, left:left + width]
+
     tfunc = _mod("torchvision.transforms.functional",
-                 resize=_stub_fn, crop=_stub_fn, center_crop=_stub_fn,
+                 resize=_stub_fn, crop=_tf_crop, center_crop=_stub_fn,
                  normalize=_stub_fn, hflip=_stub_fn, resized_crop=_stub_fn)
     transforms.functional = tfunc
     tio = _mod("torchvision.io", read_video=_stub_fn, write_video=_stub_fn,
@@ -296,6 +304,21 @@ def load_ref_tdn() -> types.ModuleType:
     mods = {"workoutdetector": pkg, "workoutdetector.models": models}
     return load_reference_module("workoutdetector/models/tdn.py",
                                  "_ref_tdn", mods)
+
+
+def load_ref_optimizer() -> types.ModuleType:
+    """reference workoutdetector/models/optimizer.py — pure torch.optim
+    (get_scheduler / GradualWarmupScheduler / tsn_optim_policies)."""
+    return load_reference_module("workoutdetector/models/optimizer.py",
+                                 "_ref_optimizer", {})
+
+
+def load_ref_tdn_dataset() -> types.ModuleType:
+    """reference workoutdetector/datasets/tdn_dataset.py
+    (TDNDataset.sample_indices &co)."""
+    mods = _torchvision_stubs()
+    return load_reference_module("workoutdetector/datasets/tdn_dataset.py",
+                                 "_ref_tdn_dataset", mods)
 
 
 def load_ref_transform() -> types.ModuleType:

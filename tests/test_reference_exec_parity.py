@@ -20,6 +20,19 @@ copied) and execute it as the oracle:
     through models.convert and matched by our flax TSM to ≤1e-4.
   * sample_frames — deterministic path bit-equal over a sweep
     (datasets/transform.py:16-65).
+  * get_scheduler / GradualWarmupScheduler — full per-iteration LR curves
+    (models/optimizer.py:13-36,185-253) vs train/optim.build_schedule.
+  * MultiScaleCrop / ThreeCrop — exhaustive candidate × offset crop
+    geometry (datasets/transform.py:265-382) vs data/transforms.
+  * count_by_image_model — the 7-deque id-sum vote loop
+    (utils/inference_count.py:190-243) with scripted per-frame scores.
+  * eval_dataset — the whole split walk → count → eval_count → CSV
+    (utils/inference_count.py:424-512), video + image branches.
+  * TDNDataset.sample_indices — bit-equal on a shared RandomState stream
+    (datasets/tdn_dataset.py:98-125).
+  * RepcountDataset.get_video_list — identical span lists over the REAL
+    annotation pack (datasets/repcount_dataset.py:254-406), with the
+    max_reps<1 docstring-vs-code reference bug documented.
 
 All tests skip when /root/reference is not mounted.
 """
@@ -697,3 +710,449 @@ def test_sample_frames_reference_executable():
                 ref = tr.sample_frames(total, num, offset, random=False)
                 got = sample_frames(total, num, offset, random=False)
                 assert got == list(ref), (total, num, offset)
+
+
+# --------------------------------------------------------------- schedules
+
+
+@pytest.mark.parametrize("policy,warmup", [("cosine", 0), ("cosine", 2),
+                                           ("multistep", 0), ("multistep", 2)])
+def test_gradual_warmup_scheduler_reference_executable(policy, warmup):
+    """The reference's GradualWarmupScheduler + get_scheduler EXECUTE
+    (models/optimizer.py:13-36,185-253 — pure torch.optim, stepped
+    per-iteration exactly as the TDN harness does) and our
+    train/optim.build_schedule reproduces the full LR-vs-iteration curve:
+    warmup from base/multiplier → base over warmup_epoch·n_iter steps,
+    then the after-scheduler re-based at iteration warmup·n_iter."""
+    import warnings
+
+    from reference_exec import load_ref_optimizer
+    from workoutdetector_tpu.config import LRSchedulerConfig
+    from workoutdetector_tpu.train.optim import build_schedule
+
+    ref = load_ref_optimizer()
+    base_lr, spe, epochs = 0.32, 5, 10
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base_lr)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # explicit-epoch step deprecation
+        sched = ref.get_scheduler(opt, n_iter_per_epoch=spe,
+                                  lr_scheduler=policy, lr_decay_rate=0.1,
+                                  warmup_epoch=warmup, lr_steps=[4, 7],
+                                  epochs=epochs, warmup_multiplier=8.0)
+        ref_lrs = []
+        for _ in range(spe * epochs):
+            ref_lrs.append(opt.param_groups[0]["lr"])
+            sched.step()
+
+    cfg = LRSchedulerConfig()
+    cfg.policy = policy
+    cfg.gamma = 0.1
+    cfg.lr_steps = [4, 7]
+    cfg.warmup_epochs = warmup
+    cfg.warmup_multiplier = 8.0
+    cfg.eta_min = 0.00001  # get_scheduler hardcodes this for cosine
+    ours = build_schedule(cfg, base_lr, steps_per_epoch=spe,
+                          max_epochs=epochs)
+    our_lrs = [float(ours(i)) for i in range(spe * epochs)]
+    np.testing.assert_allclose(our_lrs, ref_lrs, rtol=1e-5, atol=1e-9)
+    if warmup:  # the curve actually warms up: first lr is base/multiplier
+        assert abs(ref_lrs[0] - base_lr / 8.0) < 1e-12
+
+
+# -------------------------------------------------------------- transforms
+
+
+class _ForcedRandom:
+    """Stand-in for the `random` module inside the loaded reference
+    transform: forces choice()/randint() outcomes by index while recording
+    the candidate lists the reference enumerates."""
+
+    def __init__(self, picks):
+        self.picks = list(picks)
+        self.recorded = []
+
+    def choice(self, seq):
+        self.recorded.append(list(seq))
+        return seq[self.picks.pop(0)]
+
+    def randint(self, a, b):  # inclusive, like random.randint
+        self.recorded.append((a, b))
+        v = self.picks.pop(0)
+        assert a <= v <= b
+        return v
+
+
+class _ForcedRng:
+    """numpy-Generator stand-in driving OUR transforms to the same picks."""
+
+    def __init__(self, picks):
+        self.picks = list(picks)
+
+    def integers(self, low, high=None, size=None):
+        assert size is None
+        v = self.picks.pop(0)
+        assert low <= v < (high if high is not None else low)
+        return v
+
+
+@pytest.mark.parametrize("scales,num_fixed", [((1.0, 0.875, 0.75, 0.66), 5),
+                                              ((1.0, 0.875, 0.75, 0.66), 13),
+                                              ((1.0, 0.8), 13)])
+def test_multiscale_crop_reference_executable(scales, num_fixed):
+    """The reference MultiScaleCrop EXECUTES (datasets/transform.py:294-382)
+    over every (candidate size × fixed offset) pair — forced through its
+    own random.choice — and our data/transforms.MultiScaleCrop produces the
+    identical candidate enumeration AND the identical cropped pixels for
+    every pair, plus the identical inclusive offset range under
+    random_crop=True."""
+    from workoutdetector_tpu.data.transforms import MultiScaleCrop
+
+    tr = load_ref_transform()
+    rng = np.random.default_rng(11)
+    # non-square, both orientations
+    for (h, w) in [(96, 128), (130, 70)]:
+        clip = rng.integers(0, 256, size=(2, 3, h, w), dtype=np.uint8)
+        t_clip = torch.from_numpy(clip.copy())
+        # our layout is (T, H, W, C)
+        our_clip = np.transpose(clip, (0, 2, 3, 1))
+
+        ref_msc = tr.MultiScaleCrop(scales=scales, random_crop=False,
+                                    num_fixed_crops=num_fixed)
+        ours = MultiScaleCrop(scales=scales, random_crop=False,
+                              num_fixed_crops=num_fixed)
+        base = min(h, w)
+        sizes = [int(base * s) for s in scales]
+        n_candidates = sum(1 for i in range(len(sizes))
+                           for j in range(len(sizes)) if abs(i - j) <= 1)
+        for si in range(n_candidates):
+            for oi in range(num_fixed):
+                forced = _ForcedRandom([si, oi])
+                tr.random = forced  # the module-global `random` the class uses
+                ref_out = ref_msc(t_clip).numpy()
+                got = ours(our_clip, _ForcedRng([si, oi]))
+                # identical candidate-size enumeration, identical pixels
+                assert len(forced.recorded[0]) == n_candidates
+                np.testing.assert_array_equal(
+                    np.transpose(got, (0, 3, 1, 2)), ref_out)
+
+        # random_crop=True: same inclusive offset ranges, same pixels
+        ref_rc = tr.MultiScaleCrop(scales=scales, random_crop=True)
+        our_rc = MultiScaleCrop(scales=scales, random_crop=True)
+        for si in range(n_candidates):
+            probe = _ForcedRandom([si, 0, 0])
+            tr.random = probe
+            ref_rc(t_clip)
+            # recorded: candidate list, then the two inclusive randint ranges
+            (_, (x_lo, x_hi), (y_lo, y_hi)) = probe.recorded
+            assert (x_lo, y_lo) == (0, 0)
+            # drive both at the extreme corner of the offset range — the
+            # spot an exclusive/inclusive mismatch would surface
+            forced_ref = _ForcedRandom([si, x_hi, y_hi])
+            tr.random = forced_ref
+            ref_out = ref_rc(t_clip).numpy()
+            got = our_rc(our_clip, _ForcedRng([si, x_hi, y_hi]))
+            np.testing.assert_array_equal(
+                np.transpose(got, (0, 3, 1, 2)), ref_out)
+
+
+def test_three_crop_reference_executable():
+    """The reference ThreeCrop EXECUTES (datasets/transform.py:265-291);
+    ours yields the identical three top-left candidates and pixels in both
+    orientations."""
+    from workoutdetector_tpu.data.transforms import ThreeCrop
+
+    tr = load_ref_transform()
+    rng = np.random.default_rng(12)
+    ours = ThreeCrop()
+    for (h, w) in [(96, 128), (130, 70)]:
+        clip = rng.integers(0, 256, size=(2, 3, h, w), dtype=np.uint8)
+        t_clip = torch.from_numpy(clip.copy())
+        our_clip = np.transpose(clip, (0, 2, 3, 1))
+        ref_tc = tr.ThreeCrop()
+        for k in range(3):
+            forced = _ForcedRandom([k])
+            tr.random = forced
+            ref_out = ref_tc(t_clip).numpy()
+            assert len(forced.recorded[0]) == 3
+            got = ours(our_clip, _ForcedRng([k]))
+            np.testing.assert_array_equal(
+                np.transpose(got, (0, 3, 1, 2)), ref_out)
+
+
+def test_reference_count_by_image_model_exec_parity(tmp_path, capsys):
+    """The reference's count_by_image_model EXECUTES (cv2 frame loop,
+    7-deque vote `sum(que) >= 4` on raw argmax ids — including the
+    multi-class id-sum quirk — then pred_to_count(step=7);
+    utils/inference_count.py:190-243) with its per-frame inference_image
+    calls served by a scripted scorer; our count_by_image_model over the
+    same scripted per-frame scores returns identical (count, reps)."""
+    from test_infer import _write_video
+    from workoutdetector_tpu.infer.inference_count import count_by_image_model
+
+    ic = load_ref_inference_count()
+
+    # 3-phase pattern, 9 frames per state → vote windows straddle states
+    path = _write_video(tmp_path / "img.mp4",
+                        [40, 220, 40, 220, 40, 220, 40], frames_per_state=9)
+    n_frames = 63
+    rng = np.random.default_rng(3)
+    # multi-class scores: argmax ids in {0, 1, 2} exercise the id-SUM vote
+    scripted = rng.normal(size=(n_frames, 3)).astype(np.float32)
+    calls = {"i": 0}
+
+    def scripted_inference_image(model, frame, threshold=0.5):
+        assert frame is not None and frame.ndim == 3  # a real decoded frame
+        s = scripted[calls["i"]]
+        calls["i"] += 1
+        return s
+
+    ic.inference_image = scripted_inference_image
+    ref_count, ref_reps = ic.count_by_image_model(object(), str(path))
+    capsys.readouterr()
+    assert calls["i"] == n_frames  # the cv2 loop really saw every frame
+
+    class ScriptedEngine:
+        image_size = 32
+
+        def score_images(self, video):
+            assert len(video) == n_frames
+            return scripted.copy()
+
+    # threshold=0 → the pure reference loop (its own threshold is dead code)
+    our_count, our_reps = count_by_image_model(ScriptedEngine(), str(path),
+                                               threshold=0.0)
+    assert (our_count, our_reps) == (ref_count, list(ref_reps))
+    assert ref_count > 0
+
+    # the default threshold=0.1 must not change behavior when max softmax
+    # stays above it (the reference's documented-but-dead semantics)
+    strong = np.where(scripted == scripted.max(1, keepdims=True), 9.0, 0.0)
+
+    def strong_scorer(model, frame, threshold=0.5):
+        s = strong[calls["i"] % n_frames]
+        calls["i"] += 1
+        return s
+
+    calls["i"] = 0
+    ic.inference_image = strong_scorer
+    ref2 = ic.count_by_image_model(object(), str(path))
+    capsys.readouterr()
+
+    class StrongEngine(ScriptedEngine):
+        def score_images(self, video):
+            return strong.copy()
+
+    our2 = count_by_image_model(StrongEngine(), str(path), threshold=0.1)
+    assert (our2[0], list(our2[1])) == (ref2[0], list(ref2[1]))
+
+
+def test_tdn_sample_indices_reference_executable():
+    """The reference TDNDataset.sample_indices EXECUTES
+    (datasets/tdn_dataset.py:98-125 — the TDN official burst sampler,
+    all three branches) and our data/sampling.tdn_sample_indices is
+    bit-equal when driven by the same underlying RandomState stream."""
+    from reference_exec import load_ref_tdn_dataset
+    from workoutdetector_tpu.data.sampling import tdn_sample_indices
+
+    td = load_ref_tdn_dataset()
+
+    class _LegacyRng:
+        """Adapter: our Generator-style .integers on top of the SAME
+        legacy RandomState stream np.random.seed drives globally."""
+
+        def __init__(self, seed):
+            self.rs = np.random.RandomState(seed)
+
+        def integers(self, low, high=None, size=None):
+            return self.rs.randint(low, high, size=size)
+
+    # (total, num_segments, num_frames) covering: average_duration > 0,
+    # the sparse sort branch (both sub-arms), and the all-zeros branch
+    cases = [(200, 8, 5), (41, 8, 5), (12, 8, 5), (10, 8, 5), (9, 8, 5),
+             (8, 8, 5), (5, 8, 5), (3, 8, 5), (64, 16, 5), (7, 4, 5)]
+    for seed, (total, ns, nf) in enumerate(cases):
+        self_like = types.SimpleNamespace(num_segments=ns, num_frames=nf)
+        np.random.seed(seed)  # drives the module-level numpy.random.randint
+        ref = td.TDNDataset.sample_indices(self_like, list(range(total)))
+        got = tdn_sample_indices(total, num_segments=ns, num_frames=nf,
+                                 rng=_LegacyRng(seed))
+        np.testing.assert_array_equal(got, ref), (total, ns, nf)
+
+
+def test_repcount_get_video_list_reference_executable():
+    """The reference RepcountDataset.get_video_list EXECUTES over the REAL
+    shipped annotation pack (repcount_dataset.py:254-406: per-rep
+    half-segments, +1 frame indexing, start→mid/mid+1→end binary labels,
+    max_reps truncation) and our data/repcount_datasets.get_video_list
+    yields the identical span list. Also documents the reference's
+    max_reps<1 latent bug: its docstring promises 'all repetitions', its
+    code slices reps[:max_reps*2] unconditionally (0 → nothing, -1 →
+    drops the last rep); ours follows the docstring."""
+    from workoutdetector_tpu.data.repcount import RepcountHelper
+    from workoutdetector_tpu.data.repcount_datasets import get_video_list
+
+    mod = load_ref_repcount_dataset()
+    ds = mod.RepcountDataset(root=os.path.join(REF_ROOT, "datasets"),
+                             split="train")
+    anno = os.path.join(REF_ROOT, "datasets", "RepCount", "annotation.csv")
+    # data_root='RepCount' makes our frames_path string-identical to the
+    # reference's relative 'RepCount/rawframes/<split>/<stem>' paths
+    helper = RepcountHelper("RepCount", anno)
+
+    for split, action in [("val", None), ("val", "squat"),
+                          ("test", "pull_up"), ("train", "bench_pressing")]:
+        ref = ds.get_video_list(split, action=action, max_reps=2)
+        got = get_video_list(helper, split, action=action, max_reps=2)
+        assert len(got) == len(ref) > 0, (split, action)
+        for r, g in zip(ref, got):
+            assert g["video_path"] == r["video_path"]
+            assert (g["start"], g["end"], g["length"], g["label"]) == \
+                (r["start"], r["end"], r["length"], r["label"])
+            assert g["class_"] == r["class"]
+
+    # max_reps=1 truncation parity
+    ref1 = ds.get_video_list("val", action="squat", max_reps=1)
+    got1 = get_video_list(helper, "val", action="squat", max_reps=1)
+    assert [g["start"] for g in got1] == [r["start"] for r in ref1]
+    assert len(ref1) < len(ds.get_video_list("val", "squat", max_reps=99))
+
+    # the documented reference bug: max_reps=0 returns NOTHING from the
+    # reference despite its docstring; ours returns every rep
+    assert ds.get_video_list("val", action="squat", max_reps=0) == []
+    all_spans = get_video_list(helper, "val", action="squat", max_reps=0)
+    assert len(all_spans) >= len(got1)
+
+
+@pytest.mark.parametrize("model_type", ["video", "image"])
+def test_reference_eval_dataset_exec_parity(tmp_path, capsys, model_type):
+    """The reference's eval_dataset EXECUTES end-to-end
+    (utils/inference_count.py:424-512: RepcountHelper walk over a
+    RepCount-shaped root, per-video count_by_*_model, helper.eval_count,
+    MAE/OBO print, per-video CSV) against a synthetic split, with its
+    model calls served by OUR engine (video: the inference_video seam
+    shims of test_reference_count_by_video_model_exec_parity; image: a
+    brightness scorer at the inference_image seam) — and our eval_dataset
+    over the same videos returns identical per-video counts, MAE, OBO and
+    CSV rows."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from test_infer import SIZE, BrightnessModel, _write_video
+    from workoutdetector_tpu.data.transforms import (center_crop,
+                                                     resize_short_side)
+    from workoutdetector_tpu.infer import InferenceEngine
+    from workoutdetector_tpu.infer.inference_count import eval_dataset
+
+    ic = load_ref_inference_count()
+    ic.RepcountHelper = load_ref_repcount_dataset().RepcountHelper
+
+    # RepCount-shaped root under a synthetic PROJ_ROOT
+    root = tmp_path / "data" / "RepCount"
+    (root / "videos" / "val").mkdir(parents=True)
+    names, classes, counts, reps = [], [], [], []
+    for v, (pattern, cls) in enumerate([
+            ([40, 220, 40, 220, 40, 220], "squat"),
+            ([220, 40, 220, 40], "squat"),
+            ([40, 40, 220, 220, 40, 220], "pull_up")]):
+        name = f"ev{v}.mp4"
+        _write_video(root / "videos" / "val" / name, pattern,
+                     frames_per_state=9)
+        names.append(name)
+        classes.append(cls)
+        counts.append(len(pattern) // 2)
+        reps.append(" ".join(str(9 * i) for i in range(len(pattern))))
+    pd.DataFrame({
+        "name": names, "class_": classes, "split": ["val"] * 3,
+        "count": counts, "reps": reps, "vid": names,
+        "start": [0] * 3, "end": [0] * 3,
+    }).to_csv(root / "annotation.csv")
+    ic.PROJ_ROOT = str(tmp_path)
+    ic.REPCOUNT_ANNO_PATH = str(root / "annotation.csv")
+
+    model = BrightnessModel()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8, SIZE, SIZE, 3)))
+    engine = InferenceEngine(model, variables, num_segments=8,
+                             window_batch=4, image_size=SIZE)
+
+    if model_type == "video":
+        # the two latent-bug shims of the count_by_video_model gate
+        def prep_transform(x):
+            clip = x.numpy().astype(np.uint8)
+            clip = center_crop(resize_short_side(clip, 256), SIZE)
+            return torch.from_numpy(clip).float()
+
+        orig_inference_video = ic.inference_video
+
+        def patched_inference_video(m, inputs, threshold=0.5, transform=None):
+            pred = orig_inference_video(m, inputs, threshold,
+                                        transform or prep_transform)
+            return sorted(pred, key=lambda t: -t[1])
+
+        ic.inference_video = patched_inference_video
+
+        class RefModel(ic.onnxruntime.InferenceSession):
+            def get_inputs(self):
+                return [types.SimpleNamespace(name="input")]
+
+            def run(self, _, feed):
+                u8 = feed["input"].astype(np.uint8)
+                return [np.asarray(engine.score_windows(u8))]
+
+        ref_model = RefModel()
+        our_engine = engine
+    else:
+        # brightness scorer at the inference_image seam: depends only on
+        # the frame mean, so raw-BGR (reference) and prepped-RGB (ours)
+        # frames of these uniform videos score identically
+        def bright_score(frame_or_clip):
+            m = np.asarray(frame_or_clip, dtype=np.float32).mean(
+                axis=tuple(range(1, np.asarray(frame_or_clip).ndim))) \
+                if np.asarray(frame_or_clip).ndim == 4 else \
+                np.asarray(frame_or_clip, dtype=np.float32).mean()
+            hot = (np.atleast_1d(m) > 128).astype(np.float32)
+            return np.stack([9.0 * (1 - hot), 9.0 * hot], axis=-1)
+
+        ic.inference_image = lambda model, frame, threshold=0.5: \
+            bright_score(frame)[0]
+
+        class ImgEngine:
+            image_size = SIZE
+
+            def score_images(self, video):
+                return bright_score(video)
+
+        ref_model = object()
+        our_engine = ImgEngine()
+
+    ref_dir = tmp_path / "ref_out"
+    ref_dir.mkdir()
+    ic.eval_dataset(ref_model, action=["squat", "pull_up"], split="val",
+                    model_type=model_type, output_dir=str(ref_dir),
+                    csv_name="ref.csv")
+    printed = capsys.readouterr().out
+    m = re.search(r"MAE=([\d.]+), OBO_ACC=([\d.]+)", printed)
+    assert m, printed
+    ref_mae, ref_obo = float(m.group(1)), float(m.group(2))
+
+    our_dir = tmp_path / "our_out"
+    mae, obo = eval_dataset(our_engine, action=["squat", "pull_up"],
+                            split="val", data_root=str(root),
+                            model_type=model_type, output_dir=str(our_dir),
+                            csv_name="ours.csv")
+    assert (mae, obo) == (ref_mae, ref_obo)
+
+    ref_df = pd.read_csv(ref_dir / "ref.csv", index_col=0).set_index(
+        "video_name")
+    our_df = pd.read_csv(our_dir / "ours.csv", index_col=0).set_index(
+        "video_name")
+    assert set(ref_df.index) == set(our_df.index) == set(names)
+    for n in names:
+        for col in ("pred_count", "count", "mae", "obo_acc", "class_",
+                    "split"):
+            assert our_df.loc[n, col] == ref_df.loc[n, col], (n, col)
+    # non-trivial: at least one video counted > 0
+    assert ref_df["pred_count"].max() > 0

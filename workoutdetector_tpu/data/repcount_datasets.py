@@ -25,8 +25,21 @@ def get_video_list(helper: RepcountHelper,
                    max_reps: int = 2) -> List[dict]:
     """Per-rep half-segments as binary-labeled spans (reference
     repcount_dataset.py:333-385): start→mid = label 0, mid→end = label 1;
-    1-based frame indices; at most ``max_reps`` reps per video."""
-    actions = [action] if action else ["all"]
+    1-based frame indices; at most ``max_reps`` reps per video.
+
+    action=None means every class present in the annotation csv (the
+    reference's get_video_list filters by split only — including classes
+    its own RepcountHelper excludes, e.g. bench_pressing), NOT the
+    helper's cleaned 6-action list. max_reps < 1 follows the reference's
+    DOCSTRING (all reps); its code does ``reps[:max_reps * 2]``
+    unconditionally, so the reference returns [] for 0 and silently drops
+    the last rep for -1 — a latent reference bug, documented by
+    tests/test_reference_exec_parity.py."""
+    if action:
+        actions = [action]
+    else:
+        import pandas as pd
+        actions = list(pd.read_csv(helper.anno_file)["class_"].unique())
     data = helper.get_rep_data(split=[split], action=actions)
     videos: List[dict] = []
     for item in data.values():
