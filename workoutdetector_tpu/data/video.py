@@ -168,6 +168,36 @@ class VideoReader:
                 (crop, crop, 3), max_frames)
         return self._cv2_read(scale, crop, max_frames)
 
+    def iter_prepped(self, scale: int = 256, crop: int = 224,
+                     chunk: int = 1024) -> Iterator[np.ndarray]:
+        """Stream prepped frames in bounded chunks of ≤ ``chunk``
+        (T, crop, crop, 3) RGB uint8 each — the memory-safe path for
+        long videos (a 30-min 224² video is ~4 GB as one array). Chunks
+        are consecutive; concatenating them equals read_prepped()."""
+        scale = max(scale, crop)
+        if self._lib is not None:
+            shape = (crop, crop, 3)
+            while True:
+                buf = np.empty((chunk,) + shape, dtype=np.uint8)
+                n = self._lib.wd_read_cropped(
+                    self._handle, buf.ctypes.data_as(ctypes.c_void_p),
+                    chunk, scale, crop)
+                if n < 0:
+                    raise IOError(f"native decode failed for {self.path}")
+                if n == 0:
+                    return
+                yield np.ascontiguousarray(buf[:n])
+                if n < chunk:
+                    return
+        else:
+            while True:
+                frames = self._cv2_read(scale, crop, chunk)
+                if len(frames) == 0:
+                    return
+                yield frames
+                if len(frames) < chunk:
+                    return
+
     def read_raw(self, max_frames: int = 100_000) -> np.ndarray:
         """Decode all frames at source resolution → (T, H, W, 3) RGB uint8."""
         if self._lib is not None:

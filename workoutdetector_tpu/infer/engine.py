@@ -192,15 +192,23 @@ class InferenceEngine:
         return out
 
     def score_video(self, video_u8: np.ndarray, step: int = 8,
-                    stride: int = 2) -> Tuple[np.ndarray, np.ndarray]:
+                    stride: int = 2,
+                    starts: Optional[np.ndarray] = None
+                    ) -> Tuple[np.ndarray, np.ndarray]:
         """Score a whole decoded video.
 
         Args:
             video_u8: (T, H, W, C) uint8 prepped frames.
+            starts: explicit window starts; defaults to every ``step``
+                frames. The dense counter (count_by_video_model) passes
+                its non-overlapping full-chunk starts here so it rides
+                the fused device-gather path too (one H2D + one fused
+                program per video) instead of the host copy loop.
         Returns:
             (starts, logits): window start frame indices and (N, num_class).
         """
-        starts = self.windows_for_video(video_u8.shape[0], step=step)
+        if starts is None:
+            starts = self.windows_for_video(video_u8.shape[0], step=step)
         if len(starts) == 0:
             # 0-frame video: no windows — but keep the documented
             # (N, num_class) rank so np.argmax(logits, axis=1) etc. get
@@ -290,6 +298,74 @@ class InferenceEngine:
     def score_clip(self, clip_u8: np.ndarray) -> np.ndarray:
         """Score one (T, H, W, C) window → (num_class,) logits."""
         return self.score_windows(clip_u8[None])[0]
+
+
+def score_video_chunked(engine: InferenceEngine,
+                        video_path: str,
+                        step: int = 8,
+                        stride: int = 2,
+                        chunk_frames: int = 1024,
+                        scale: int = 256
+                        ) -> Tuple[int, np.ndarray, np.ndarray]:
+    """Bounded-memory decode+score of one video — bit-identical to
+    decoding the whole video and calling score_video.
+
+    Long sources make whole-video decode unsafe (a 30-min 224² video is
+    ~4 GB of uint8); the window stride makes chunking exact: a window at
+    start s reads frames [s, s + num_segments·stride), so mid-stream we
+    score every start whose full span is already decoded and carry only
+    the undecoded-span tail forward; at EOF the remaining starts score
+    with the zero-pad tail semantics the whole-video path has (reference
+    inference_count.py:412-414). Peak frame residency is
+    chunk_frames + span instead of the video length.
+
+    Returns (total_frames, starts, logits).
+    """
+    from workoutdetector_tpu.data.video import VideoReader
+
+    span = engine.num_segments * stride
+    assert chunk_frames >= span, \
+        f"chunk_frames {chunk_frames} must cover one window span {span}"
+    device = engine.gather == "device" and engine.input_rank == 5 and \
+        engine.mesh is None and engine.model is not None
+
+    starts_all: List[int] = []
+    logits_all: List[np.ndarray] = []
+    base = 0  # global frame index of buf[0]
+    buf = np.empty((0, engine.image_size, engine.image_size, 3), np.uint8)
+    next_start = 0
+    with VideoReader(video_path) as r:
+        it = r.iter_prepped(scale, engine.image_size, chunk=chunk_frames)
+        eof = False
+        while not eof:
+            chunk = next(it, None)
+            if chunk is None:
+                eof = True
+            else:
+                buf = np.concatenate([buf, chunk]) if buf.size else chunk
+            total = base + len(buf)
+            group: List[int] = []
+            s = next_start
+            while s < total and (eof or s + span <= total):
+                group.append(s)
+                s += step
+            if group:
+                rel = np.asarray(group, np.int64) - base
+                if device:
+                    logits = engine.score_staged(engine.stage_video(buf),
+                                                 rel, stride=stride)
+                else:
+                    logits = engine.score_windows(
+                        engine.gather_windows(buf, rel, stride=stride))
+                starts_all.extend(group)
+                logits_all.append(logits)
+                next_start = s
+            if not eof and next_start > base:
+                buf = buf[next_start - base:]
+                base = next_start
+    n_cls_logits = (np.concatenate(logits_all) if logits_all
+                    else np.zeros((0, 0), np.float32))
+    return total, np.asarray(starts_all, np.int64), n_cls_logits
 
 
 def engine_from_checkpoint(cfg,

@@ -68,8 +68,11 @@ def count_by_video_model(engine: InferenceEngine,
     if n_chunks == 0:
         return 0, []
     starts = np.arange(0, n_chunks * 8, 8)
-    windows = engine.gather_windows(video, starts, stride=1)  # dense 8 frames
-    logits = engine.score_windows(windows)
+    # dense 8-frame windows through the fused device gather when the
+    # engine supports it (one H2D + one fused program per video); the
+    # host gather_windows loop remains the fallback for .jaxm artifact
+    # engines and image-rank models (score_video routes internally)
+    _, logits = engine.score_video(video, stride=1, starts=starts)
     states = [int(np.argmax(l)) for l in logits]
     count, reps = pred_to_count(states, step=8)
     if video_out_path is not None:
@@ -318,7 +321,8 @@ def inference_dataset(engine: InferenceEngine,
                       step: int = 8,
                       stride: int = 2,
                       decode_workers: int = 2,
-                      shard: Tuple[int, int] = (0, 1)) -> None:
+                      shard: Tuple[int, int] = (0, 1),
+                      chunk_frames: Optional[int] = None) -> None:
     """Score every RepCount video → per-video ``.score.json``.
 
     JSON schema matches reference inference_dataset (:351-421):
@@ -330,6 +334,13 @@ def inference_dataset(engine: InferenceEngine,
     (see _shard_items); N workers writing into one shared ``out_dir``
     produce exactly the single-process output, so counting.eval_score_dir
     over the merged directory needs no extra step.
+
+    ``chunk_frames`` bounds decode memory per video: frames stream in
+    chunks of that many and score as they arrive — bit-identical output
+    (engine.score_video_chunked), peak residency chunk_frames + window
+    span instead of the whole video (the reference decodes entire videos
+    to RAM, :391; a 30-min 224² source is ~4 GB of uint8). Dataset-scale
+    sweeps should set it.
     """
     os.makedirs(out_dir, exist_ok=True)
     if data_root is None:
@@ -341,6 +352,22 @@ def inference_dataset(engine: InferenceEngine,
 
     device_gather = engine.gather == "device" and engine.input_rank == 5 \
         and engine.mesh is None
+    items = _shard_items(list(data.values()), shard)
+    if not items:
+        return
+
+    if chunk_frames is not None:
+        # bounded-memory path: decode+score interleave per video, so the
+        # cross-video decode pipeline below (whole videos in worker
+        # threads) would defeat the bound — stream serially instead
+        from workoutdetector_tpu.infer.engine import score_video_chunked
+        for item in items:
+            n_frames, starts, logits = score_video_chunked(
+                engine, item.video_path, step=step, stride=stride,
+                chunk_frames=chunk_frames)
+            _write_score_json(engine, item, n_frames, starts, logits,
+                              checkpoint, out_dir)
+        return
 
     def decode(it):
         with VideoReader(it.video_path) as r:
@@ -356,9 +383,6 @@ def inference_dataset(engine: InferenceEngine,
     # worker threads while the device scores video k (the north-star
     # overlap, SURVEY §7 step 4 / hard-part 4)
     from concurrent.futures import ThreadPoolExecutor
-    items = _shard_items(list(data.values()), shard)
-    if not items:
-        return
     workers = max(1, decode_workers)
     with ThreadPoolExecutor(workers) as pool:
         futures = [pool.submit(decode, it) for it in items[:workers]]
@@ -567,6 +591,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     parser.add_argument("--merge-shards", nargs="+", default=None,
                         metavar="JSON",
                         help="merge counts JSONs → global metrics")
+    parser.add_argument("--chunk-frames", type=int, default=None,
+                        help="bound decode memory: stream each video in "
+                             "chunks of this many frames (bit-identical "
+                             "scores; use for long videos / dataset sweeps)")
     parser.add_argument("--cpu", action="store_true",
                         help="force CPU backend")
     parser.add_argument("opts", nargs="*", help="dotted config overrides")
@@ -629,7 +657,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         inference_dataset(engine, [args.split], args.score,
                           checkpoint=args.checkpoint or "none",
                           data_root=data_root, anno_path=anno_path,
-                          shard=(i, n))
+                          shard=(i, n), chunk_frames=args.chunk_frames)
         return
     if not args.eval:
         parser.error("pass --score OUT_DIR, --eval, or --merge-shards")
