@@ -491,7 +491,14 @@ if mode == "whole":
 else:
     n, starts, logits = score_video_chunked(eng, path, step=8, stride=2,
                                             chunk_frames=512)
+# NOT ru_maxrss: it lives in the signal_struct and SURVIVES exec, so a
+# child forked from a bloated parent (pytest after a full suite) reports
+# the parent's high-water mark. VmHWM is per-mm and resets on exec.
 peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+for _line in open("/proc/self/status"):
+    if _line.startswith("VmHWM"):
+        peak_mb = int(_line.split()[1]) / 1024.0
+        break
 print(f"RESULT {n} {len(starts)} {float(np.abs(logits).sum()):.6f} {peak_mb:.1f}")
 """
 
