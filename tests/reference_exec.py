@@ -328,6 +328,44 @@ def load_ref_transform() -> types.ModuleType:
                                  "_ref_transform", mods)
 
 
+def load_ref_common() -> types.ModuleType:
+    """reference workoutdetector/datasets/common.py — FrameDataset /
+    ImageDataset, the rawframe hot loop (common.py:99-117).
+
+    ``torchvision.io.read_image`` is backed by a cv2 CHW-uint8 shim (an
+    IO primitive, same adjudication as the TorchResNet backbone shim);
+    the annotation parsing, index sampling (the genuine reference
+    sample_frames is wired in) and clip assembly the gates assert on are
+    reference code executing unmodified."""
+    import cv2
+    import numpy as np
+    import torch as _torch
+
+    def _cv2_read_image(path):
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        assert img is not None, f"unreadable image: {path}"
+        rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        return _torch.from_numpy(np.ascontiguousarray(rgb.transpose(2, 0, 1)))
+
+    tr = load_ref_transform()
+    mods: Dict[str, types.ModuleType] = {}
+    mods.update(_torchvision_stubs())
+    # one shared module object backs both `torchvision.io` and the
+    # `from torchvision.io import read_image` binding inside common.py
+    mods["torchvision.io"].read_image = _cv2_read_image
+    transform = _mod("workoutdetector.datasets.transform",
+                     sample_frames=tr.sample_frames)
+    datasets = _mod("workoutdetector.datasets", transform=transform)
+    settings = _mod("workoutdetector.settings", PROJ_ROOT=REF_ROOT)
+    pkg = _mod("workoutdetector", datasets=datasets, settings=settings)
+    mods.update({"workoutdetector": pkg,
+                 "workoutdetector.datasets": datasets,
+                 "workoutdetector.datasets.transform": transform,
+                 "workoutdetector.settings": settings})
+    return load_reference_module("workoutdetector/datasets/common.py",
+                                 "_ref_common", mods)
+
+
 def load_ref_repcount_dataset() -> types.ModuleType:
     """reference workoutdetector/datasets/repcount_dataset.py
     (RepcountHelper / RepcountItem / eval_count), with the genuine
@@ -348,6 +386,14 @@ def load_ref_repcount_dataset() -> types.ModuleType:
     return load_reference_module(
         "workoutdetector/datasets/repcount_dataset.py",
         "_ref_repcount_dataset", mods)
+
+
+def load_ref_mpvscreenshot() -> types.ModuleType:
+    """reference workoutdetector/scripts/mpvscreenshot_process.py —
+    the relabel tooling (mpv screenshot filename parsing, csv builder)."""
+    return load_reference_module(
+        "workoutdetector/scripts/mpvscreenshot_process.py",
+        "_ref_mpvscreenshot", _workoutdetector_stubs())
 
 
 @contextlib.contextmanager

@@ -111,6 +111,9 @@ def test_sharded_score_sweep_vs_reference_eval(corpus, checkpoint, tmp_path,
     root, df = corpus
     val_names = sorted(df[df["split"] == "val"]["name"])
     assert len(val_names) >= 100
+    # every row carries a UNIQUE source-video id (regression: an
+    # over-long zero-pad slice collapsed every vid to 'synthetic00')
+    assert df["vid"].is_unique
 
     score_dir = str(tmp_path / "scores")
     seen_per_shard = []

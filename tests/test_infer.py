@@ -459,6 +459,52 @@ def test_count_by_video_model_device_path_matches_host(tmp_path):
     assert count > 0
 
 
+def test_chunked_scoring_honors_read_prepped_cap(tmp_path, engine):
+    """Past VideoReader.read_prepped's max_frames cap the chunked path
+    must truncate EXACTLY where the whole-video decode would — otherwise
+    --chunk-frames (documented as memory-only) changes the score JSONs
+    of >cap sources."""
+    from workoutdetector_tpu.data.video import VideoReader
+    from workoutdetector_tpu.infer.engine import score_video_chunked
+
+    path = _write_video(tmp_path / "cap.mp4", [40, 220, 40, 220, 40],
+                        frames_per_state=24)  # 120 frames > cap of 64
+    with VideoReader(path) as r:
+        video = r.read_prepped(256, SIZE, max_frames=64)
+    assert len(video) == 64
+    s_w, l_w = engine.score_video(video, step=8, stride=2)
+    n, s_c, l_c = score_video_chunked(engine, path, step=8, stride=2,
+                                      chunk_frames=24, max_frames=64)
+    assert n == 64
+    np.testing.assert_array_equal(s_w, s_c)
+    np.testing.assert_allclose(l_w, l_c, atol=1e-5)
+
+
+def test_chunked_scoring_empty_video_keeps_num_class_rank(monkeypatch, engine):
+    """A 0-frame source through score_video_chunked returns (0, num_class)
+    logits like score_video — not (0, 0)."""
+    from workoutdetector_tpu.data import video as video_mod
+    from workoutdetector_tpu.infer.engine import score_video_chunked
+
+    class _EmptyReader:
+        def __init__(self, path):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def iter_prepped(self, *a, **k):
+            return iter(())
+
+    monkeypatch.setattr(video_mod, "VideoReader", _EmptyReader)
+    n, starts, logits = score_video_chunked(engine, "none.mp4")
+    assert n == 0 and len(starts) == 0
+    assert logits.shape == (0, 2)
+
+
 _RSS_DRIVER = r"""
 import os, resource, sys
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"

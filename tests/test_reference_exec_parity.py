@@ -33,6 +33,13 @@ copied) and execute it as the oracle:
   * RepcountDataset.get_video_list — identical span lists over the REAL
     annotation pack (datasets/repcount_dataset.py:254-406), with the
     max_reps<1 docstring-vs-code reference bug documented.
+  * FrameDataset / ImageDataset — the rawframe hot loop
+    (datasets/common.py:16-170): 3-/4-column annotation parsing,
+    deterministic sampling and clip assembly, pixel-for-pixel.
+  * relabel tooling (scripts/mpvscreenshot_process.py:11-70) —
+    screenshot-name parsing + byte-identical screenshots_to_csv
+    (which surfaced a real 0/1/0-vs-0/1/2 labeling divergence, fixed),
+    with the ≥1 h minute-arithmetic reference bug documented.
 
 All tests skip when /root/reference is not mounted.
 """
@@ -1156,3 +1163,99 @@ def test_reference_eval_dataset_exec_parity(tmp_path, capsys, model_type):
             assert our_df.loc[n, col] == ref_df.loc[n, col], (n, col)
     # non-trivial: at least one video counted > 0
     assert ref_df["pred_count"].max() > 0
+
+
+def test_frame_and_image_dataset_reference_executable(tmp_path):
+    """The reference's OWN FrameDataset/ImageDataset — the rawframe hot
+    loop (datasets/common.py:16-170) — execute over a shared rawframe
+    tree: annotation parsing (3- AND 4-column), deterministic segment
+    sampling (the genuine reference sample_frames wired in) and clip
+    assembly match our data.datasets classes pixel-for-pixel (reference
+    CHW torch vs our NHWC uint8). Covers the total<num repeat branch."""
+    import cv2
+
+    from reference_exec import load_ref_common
+    from workoutdetector_tpu.data.datasets import FrameDataset, ImageDataset
+
+    root = tmp_path
+    rng = np.random.default_rng(3)
+    totals = [40, 6, 12]  # 6 < num_segments exercises the repeat branch
+    anno4, anno3 = [], []
+    for d, total in enumerate(totals):
+        fdir = root / "rawframes" / f"v{d}"
+        fdir.mkdir(parents=True)
+        for i in range(1, total + 1):
+            img = rng.integers(0, 256, size=(24, 32, 3)).astype(np.uint8)
+            cv2.imwrite(str(fdir / f"img_{i:05}.jpg"), img)
+        anno4.append(f"v{d} 1 {total} {d % 2}")
+        anno3.append(f"v{d} {total} {d % 2}")
+    (root / "anno4.txt").write_text("\n".join(anno4) + "\n")
+    (root / "anno3.txt").write_text("\n".join(anno3) + "\n")
+
+    ref_common = load_ref_common()
+    for col, anno in ((4, "anno4.txt"), (3, "anno3.txt")):
+        ref_ds = ref_common.FrameDataset(str(root),
+                                         anno_path=str(root / anno),
+                                         data_prefix="rawframes",
+                                         num_segments=8, anno_col=col,
+                                         is_test=True)
+        ours = FrameDataset(str(root), anno_path=str(root / anno),
+                            data_prefix="rawframes", num_segments=8,
+                            anno_col=col, is_test=True)
+        assert len(ref_ds) == len(ours) == len(totals)
+        for i in range(len(totals)):
+            ref_clip, ref_label = ref_ds[i]
+            our_clip, our_label = ours.__getitem__(i)
+            assert int(ref_label) == int(our_label) == i % 2
+            np.testing.assert_array_equal(
+                ref_clip.numpy().transpose(0, 2, 3, 1), our_clip)
+
+    img_lines = [f"v{d}/img_00001.jpg {d}" for d in range(len(totals))]
+    (root / "img.txt").write_text("\n".join(img_lines) + "\n")
+    ref_img = ref_common.ImageDataset(str(root), data_prefix="rawframes",
+                                      anno_path=str(root / "img.txt"))
+    our_img = ImageDataset(str(root), data_prefix="rawframes",
+                           anno_path=str(root / "img.txt"))
+    assert len(ref_img) == len(our_img) == len(totals)
+    for i in range(len(totals)):
+        ref_i, ref_l = ref_img[i]
+        our_i, our_l = our_img.__getitem__(i)
+        assert int(ref_l) == int(our_l) == i
+        np.testing.assert_array_equal(
+            ref_i.numpy().transpose(1, 2, 0), our_i[0])
+
+
+def test_relabel_tooling_reference_executable(tmp_path):
+    """The reference's OWN relabel tooling executes as the oracle
+    (scripts/mpvscreenshot_process.py:11-70): filename→(name, sec)
+    parsing agrees on a sweep, name_to_png round-trips identically on
+    the sub-hour timestamps where the reference's ``m = sec // 60``
+    minute arithmetic is well-defined (≥1 h it emits minutes > 59 — a
+    latent reference bug our integer-ms version fixes), and
+    screenshots_to_csv over a synthetic screenshot tree is
+    byte-identical — including the 0/1/0 triple labeling (the END frame
+    is class 0)."""
+    from reference_exec import load_ref_mpvscreenshot
+    from workoutdetector_tpu.scripts import relabel
+
+    ref = load_ref_mpvscreenshot()
+    for s in ("stu2_48.mp4_00_00_09.943.png",
+              "train951.mp4_00_01_22.500.png",
+              "x_1.mp4_00_59_59.007.png"):
+        assert ref.process_screenshot(s) == relabel.process_screenshot(s)
+    for vid, sec in (("a.mp4", 9.943), ("b.mp4", 62.5), ("c.mp4", 0.25),
+                     ("d.mp4", 3599.007)):
+        assert ref.name_to_png(vid, sec) == relabel.name_to_png(vid, sec)
+
+    shots = tmp_path / "shots"
+    for split in ("train", "val", "test"):
+        d = shots / split
+        d.mkdir(parents=True)
+        for k in range(6):  # 2 reps x (start, mid, end)
+            name = ref.name_to_png(f"{split}{k // 3}.mp4", 1.5 * k + 0.25)
+            (d / name).touch()
+    ref_csv = tmp_path / "ref.csv"
+    our_csv = tmp_path / "ours.csv"
+    ref.screenshots_to_csv(str(shots), str(ref_csv))
+    relabel.screenshots_to_csv(str(shots), str(our_csv))
+    assert ref_csv.read_bytes() == our_csv.read_bytes()

@@ -50,6 +50,29 @@ def test_get_video_list(repcount_root):
         assert v["end"] >= v["start"]
 
 
+def test_get_video_list_action_none_is_split_only(tmp_path):
+    """action=None must filter by split ONLY (reference
+    repcount_dataset.py:333-385): a NaN class_ cell must not crash, and
+    classes named 'all' or with uppercase letters pass through verbatim
+    instead of expanding/vanishing in get_rep_data's action filter."""
+    rows = [
+        {"name": "a.mp4", "class_": "squat", "split": "train", "count": 1,
+         "reps": "0 10", "vid": "v1", "start": 0, "end": 20},
+        {"name": "b.mp4", "class_": float("nan"), "split": "train",
+         "count": 1, "reps": "0 10", "vid": "v2", "start": 0, "end": 20},
+        {"name": "c.mp4", "class_": "all", "split": "train", "count": 1,
+         "reps": "0 10", "vid": "v3", "start": 0, "end": 20},
+        {"name": "d.mp4", "class_": "BenchPress", "split": "train",
+         "count": 1, "reps": "0 10", "vid": "v4", "start": 0, "end": 20},
+        {"name": "e.mp4", "class_": "squat", "split": "val", "count": 1,
+         "reps": "0 10", "vid": "v5", "start": 0, "end": 20},
+    ]
+    pd.DataFrame(rows).to_csv(tmp_path / "annotation.csv")
+    helper = RepcountHelper(str(tmp_path), str(tmp_path / "annotation.csv"))
+    videos = get_video_list(helper, "train", action=None)
+    assert len(videos) == 4 * 2  # 4 train rows × (start→mid, mid→end)
+
+
 def test_repcount_video_dataset(repcount_root):
     ds = RepcountVideoDataset(repcount_root, "squat", num_segments=8,
                               split="train", transform=TestTransform(size=32))

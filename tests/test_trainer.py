@@ -434,6 +434,79 @@ def test_early_stopping_honors_train_monitor(tmp_path, monkeypatch):
     assert int(state.step) == 8
 
 
+def test_early_stopping_train_monitor_checks_every_epoch(tmp_path,
+                                                         monkeypatch):
+    """A train/* monitor is consulted at EVERY training epoch end
+    (Lightning checks on train-epoch end), not only on the epochs that
+    run validation — with check_val_every_n_epoch=10 a plateaued train
+    stream must still stop the run. The loss stream is scripted by
+    wrapping the real train step (strictly increasing ⇒ epoch 0 is best,
+    epoch 1 exhausts patience 1 ⇒ stop after epoch 2)."""
+    import jax.numpy as jnp
+
+    cfg = small_cfg(tmp_path)
+    cfg.trainer.max_epochs = 4
+    cfg.trainer.enable_checkpointing = False
+    cfg.trainer.check_val_every_n_epoch = 10  # validation never runs
+    cfg.callbacks.early_stopping.enable = True
+    cfg.callbacks.early_stopping.monitor = "train/loss"
+    cfg.callbacks.early_stopping.mode = "min"
+    cfg.callbacks.early_stopping.patience = 1
+
+    orig_fn = Trainer.train_step_fn
+
+    def patched(self):
+        step = orig_fn(self)
+
+        def wrapped(state, bx, by):
+            new_state, m = step(state, bx, by)
+            m = dict(m)
+            m["loss"] = new_state.step.astype(jnp.float32)
+            return new_state, m
+
+        return wrapped
+
+    monkeypatch.setattr(Trainer, "train_step_fn", patched)
+    state, _ = Trainer(cfg).fit(ckpt_dir=str(tmp_path / "c"))
+    assert int(state.step) == 4  # 2 epochs × 2 steps, not 4 × 2
+
+
+def test_train_ignores_foreign_best(tmp_path, monkeypatch):
+    """train() must not test a 'best' checkpoint THIS run never saved:
+    a fresh run pointed at a shared dirpath whose val split is empty
+    would silently report a previous run's weights (or crash on a
+    structure mismatch)."""
+    from workoutdetector_tpu.train.checkpoint import CheckpointManager
+
+    shared = str(tmp_path / "shared_ckpts")
+    # run A saves a best into the shared dir
+    cfg_a = small_cfg(tmp_path / "a")
+    cfg_a.callbacks.modelcheckpoint.dirpath = shared
+    monkeypatch.setattr(
+        Trainer, "evaluate",
+        _scripted_evaluate([{"acc": 0.9, "loss": 0.1, "n": 8}]))
+    Trainer(cfg_a).fit(ckpt_dir=shared)
+
+    # run B: same dirpath, never saves a best (empty val split), no
+    # resume -> train() must NOT restore run A's 'best'
+    cfg_b = small_cfg(tmp_path / "b")
+    cfg_b.callbacks.modelcheckpoint.dirpath = shared
+    cfg_b.trainer.resume_from_checkpoint = None
+    monkeypatch.setattr(
+        Trainer, "evaluate",
+        _scripted_evaluate([{"acc": 0.0, "loss": 0.0, "n": 0}]))
+    restored = []
+    orig_restore = CheckpointManager.restore
+
+    def spying_restore(self, name, *a, **k):
+        restored.append(name)
+        return orig_restore(self, name, *a, **k)
+
+    monkeypatch.setattr(CheckpointManager, "restore", spying_restore)
+    train(cfg_b)
+    assert "best" not in restored
+
+
 def test_train_reloads_best_before_test(tmp_path, monkeypatch):
     """train() must test the BEST-val-acc checkpoint, not the end-of-run
     state (the reference's documented intent at trainer.py:316-322 —

@@ -72,16 +72,22 @@ class RepcountHelper:
 
     def get_rep_data(self,
                      split: List[str] = ("test",),
-                     action: List[str] = ("situp",)) -> Dict[str, RepcountItem]:
+                     action: Optional[List[str]] = ("situp",)
+                     ) -> Dict[str, RepcountItem]:
+        """``action=None`` filters by split ONLY — every csv row regardless
+        of class (incl. classes outside the cleaned 6-action list, NaN
+        cells, or a class literally named 'all') — the reference
+        get_video_list's semantics (repcount_dataset.py:333-385)."""
         assert len(split) > 0, 'split must be specified, e.g. ["train", "val"]'
-        assert len(action) > 0, 'action must be specified, e.g. ["pull_up"]'
         split = [x.lower() for x in split]
-        action = [x.lower() for x in action]
-        if "all" in action:
-            action = self.classes
         df = pd.read_csv(self.anno_file, index_col=0)
         df = df[df["split"].isin(split)]
-        df = df[df["class_"].isin(action)]
+        if action is not None:
+            assert len(action) > 0, 'action must be specified, e.g. ["pull_up"]'
+            action = [x.lower() for x in action]
+            if "all" in action:
+                action = self.classes
+            df = df[df["class_"].isin(action)]
         df = df.reset_index(drop=True)
         ret: Dict[str, RepcountItem] = {}
         for _, row in df.iterrows():

@@ -35,12 +35,11 @@ def get_video_list(helper: RepcountHelper,
     unconditionally, so the reference returns [] for 0 and silently drops
     the last rep for -1 — a latent reference bug, documented by
     tests/test_reference_exec_parity.py."""
-    if action:
-        actions = [action]
-    else:
-        import pandas as pd
-        actions = list(pd.read_csv(helper.anno_file)["class_"].unique())
-    data = helper.get_rep_data(split=[split], action=actions)
+    # action=None → split-only filter inside get_rep_data: robust to NaN
+    # class_ cells, uppercase classes, or a class literally named 'all'
+    # (deriving a list from the raw csv here would crash or mis-expand)
+    data = helper.get_rep_data(split=[split],
+                               action=[action] if action else None)
     videos: List[dict] = []
     for item in data.values():
         if item.count <= 0:

@@ -242,7 +242,10 @@ def build_repcount_corpus(root: str,
             w.release()
             rows.append({
                 "class_": action, "split": split, "name": name,
-                "vid": f"synthetic{idx:011d}"[:11], "start": 0,
+                # 11 chars like a YouTube id, UNIQUE per video ('synthetic'
+                # is 9 chars — slicing a zero-padded suffix to 11 would
+                # collapse every row to 'synthetic00')
+                "vid": f"syn{idx:08d}", "start": 0,
                 "end": len(frames),
                 "count": float(n_reps),
                 "reps": " ".join(map(str, reps)),

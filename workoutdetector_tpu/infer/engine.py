@@ -138,6 +138,30 @@ class InferenceEngine:
 
         return sharded_run
 
+    @property
+    def supports_device_gather(self) -> bool:
+        """True when video scoring may take the fused device-gather path
+        (one H2D + one fused gather+normalize+model program per video):
+        needs a live 5D-input model on a single unsharded device. Artifact
+        (.jaxm) engines and mesh-sharded engines fall back to the host
+        gather. The ONE eligibility predicate for every caller
+        (score_video, score_video_chunked, inference_dataset)."""
+        return (self.gather == "device" and self.input_rank == 5
+                and self.mesh is None and self.model is not None)
+
+    def _num_class(self, frame_shape: Tuple[int, ...]) -> int:
+        """Number of output classes, recovered without scoring anything
+        real — abstract eval for live models, one zero-window call for
+        fixed-shape .jaxm artifacts."""
+        w_shape = (self.num_segments,) + tuple(frame_shape)
+        try:
+            out_s = jax.eval_shape(
+                self._fn, jax.ShapeDtypeStruct((1,) + w_shape, jnp.uint8))
+            return out_s.shape[-1]
+        except Exception:  # e.g. fixed-shape .jaxm artifacts
+            return self.score_windows(
+                np.zeros((1,) + w_shape, np.uint8)).shape[-1]
+
     # ---------------- core batched call ---------------- #
     def chunked_call(self, fn, arr: np.ndarray) -> np.ndarray:
         """Run a fixed-batch compiled ``fn`` over any-N leading-dim input,
@@ -213,18 +237,9 @@ class InferenceEngine:
             # 0-frame video: no windows — but keep the documented
             # (N, num_class) rank so np.argmax(logits, axis=1) etc. get
             # an empty result, not an AxisError
-            w_shape = (self.num_segments,) + video_u8.shape[1:]
-            try:
-                import jax
-                out_s = jax.eval_shape(
-                    self._fn, jax.ShapeDtypeStruct((1,) + w_shape, jnp.uint8))
-                n_cls = out_s.shape[-1]
-            except Exception:  # e.g. fixed-shape .jaxm artifacts
-                n_cls = self.score_windows(
-                    np.zeros((1,) + w_shape, np.uint8)).shape[-1]
+            n_cls = self._num_class(video_u8.shape[1:])
             return starts, np.zeros((0, n_cls), np.float32)
-        if self.gather == "device" and self.input_rank == 5 and \
-                self.mesh is None:
+        if self.supports_device_gather:
             return starts, self._score_video_device(video_u8, starts, stride)
         windows = self.gather_windows(video_u8, starts, stride=stride)
         return starts, self.score_windows(windows)
@@ -305,7 +320,8 @@ def score_video_chunked(engine: InferenceEngine,
                         step: int = 8,
                         stride: int = 2,
                         chunk_frames: int = 1024,
-                        scale: int = 256
+                        scale: int = 256,
+                        max_frames: int = 100_000
                         ) -> Tuple[int, np.ndarray, np.ndarray]:
     """Bounded-memory decode+score of one video — bit-identical to
     decoding the whole video and calling score_video.
@@ -319,6 +335,10 @@ def score_video_chunked(engine: InferenceEngine,
     inference_count.py:412-414). Peak frame residency is
     chunk_frames + span instead of the video length.
 
+    ``max_frames`` defaults to VideoReader.read_prepped's cap so the
+    two paths stay identical even past it — a >100k-frame source
+    truncates HERE exactly where the whole-video decode would.
+
     Returns (total_frames, starts, logits).
     """
     from workoutdetector_tpu.data.video import VideoReader
@@ -326,8 +346,7 @@ def score_video_chunked(engine: InferenceEngine,
     span = engine.num_segments * stride
     assert chunk_frames >= span, \
         f"chunk_frames {chunk_frames} must cover one window span {span}"
-    device = engine.gather == "device" and engine.input_rank == 5 and \
-        engine.mesh is None and engine.model is not None
+    device = engine.supports_device_gather
 
     starts_all: List[int] = []
     logits_all: List[np.ndarray] = []
@@ -342,7 +361,14 @@ def score_video_chunked(engine: InferenceEngine,
             if chunk is None:
                 eof = True
             else:
-                buf = np.concatenate([buf, chunk]) if buf.size else chunk
+                room = max_frames - (base + len(buf))
+                if len(chunk) >= room:
+                    # cap reached: truncate exactly where read_prepped
+                    # would and treat it as EOF (pad-tail semantics)
+                    chunk = chunk[:room]
+                    eof = True
+                if len(chunk):
+                    buf = np.concatenate([buf, chunk]) if buf.size else chunk
             total = base + len(buf)
             group: List[int] = []
             s = next_start
@@ -363,8 +389,14 @@ def score_video_chunked(engine: InferenceEngine,
             if not eof and next_start > base:
                 buf = buf[next_start - base:]
                 base = next_start
-    n_cls_logits = (np.concatenate(logits_all) if logits_all
-                    else np.zeros((0, 0), np.float32))
+    if logits_all:
+        n_cls_logits = np.concatenate(logits_all)
+    else:
+        # keep score_video's (0, num_class) rank contract on 0-window
+        # videos — not (0, 0)
+        n_cls_logits = np.zeros(
+            (0, engine._num_class(
+                (engine.image_size, engine.image_size, 3))), np.float32)
     return total, np.asarray(starts_all, np.int64), n_cls_logits
 
 

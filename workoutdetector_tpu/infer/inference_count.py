@@ -350,8 +350,7 @@ def inference_dataset(engine: InferenceEngine,
     helper = RepcountHelper(data_root, anno_path)
     data = helper.get_rep_data(splits, action=["all"])
 
-    device_gather = engine.gather == "device" and engine.input_rank == 5 \
-        and engine.mesh is None
+    device_gather = engine.supports_device_gather
     items = _shard_items(list(data.values()), shard)
     if not items:
         return

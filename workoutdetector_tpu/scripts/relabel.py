@@ -55,7 +55,9 @@ def screenshots_to_csv(path: str, csv_path: str, num_frame: int = 3) -> None:
             shots = sorted(x for x in os.listdir(d) if x.endswith(".png"))
             for i, shot in enumerate(shots):
                 name, sec = process_screenshot(shot)
-                label = i % num_frame  # 0=start, 1=mid, 2=end of a rep
+                # reference :66-70 labels each (start, mid, end) triple
+                # 0/1/0 — the END frame is a class-0 ('start-like') state
+                label = 1 if i % num_frame == 1 else 0
                 f.write(f"{name},{sec},{label},{split}\n")
 
 

@@ -349,6 +349,12 @@ class Trainer:
         from workoutdetector_tpu.train.checkpoint import CheckpointManager
         ckpt = CheckpointManager(ckpt_dir) if cfg.trainer.enable_checkpointing else None
         self._ckpt = ckpt  # train() reloads 'best' from here before test()
+        # train() must only test a 'best' that belongs to THIS logical run:
+        # a fresh run pointed at a shared dirpath that never saves a best
+        # (empty val split) would otherwise silently test a previous run's
+        # weights. Saving a best here — or resuming from this dir — marks
+        # the checkpoint as ours.
+        self._best_is_ours = False
         resume_from = cfg.trainer.resume_from_checkpoint
         if resume_from == "auto":
             # production convenience: the SAME command line restarts a
@@ -383,6 +389,7 @@ class Trainer:
                 print("[resume] optimizer state structure changed; restored "
                       "weights only, optimizer starts fresh")
             self.best_val_acc = meta.get("best_val_acc", 0.0)
+            self._best_is_ours = True
 
         train_step = self.train_step_fn()
         max_epochs = 1 if cfg.trainer.fast_dev_run else cfg.trainer.max_epochs
@@ -426,8 +433,12 @@ class Trainer:
                 state, metrics = train_step(state, bx, by)
                 global_step += 1
                 if es_on_train:
-                    epoch_loss_sum += float(metrics["loss"])
-                    epoch_acc_sum += float(metrics["acc"])
+                    # accumulate the DEVICE scalars — a float() here would
+                    # block every step on a host round-trip (ruinous over
+                    # the tunneled backend); the sums are fetched once at
+                    # the epoch-end early-stopping check
+                    epoch_loss_sum = epoch_loss_sum + metrics["loss"]
+                    epoch_acc_sum = epoch_acc_sum + metrics["acc"]
                     epoch_steps += 1
                 timer.tick()
                 if profiling and global_step >= 1 + cfg.log.profile_steps:
@@ -455,7 +466,8 @@ class Trainer:
             if preempted.is_set():
                 break
 
-            if (epoch + 1) % cfg.trainer.check_val_every_n_epoch == 0:
+            ran_val = (epoch + 1) % cfg.trainer.check_val_every_n_epoch == 0
+            if ran_val:
                 val = self.evaluate(state, val_loader)
                 loggers.log_metrics({f"val/{k}": v for k, v in val.items()},
                                     step=global_step)
@@ -464,6 +476,7 @@ class Trainer:
                 # with a constant 0.0 >= 0.0 every epoch
                 if val.get("n", 1) > 0 and val["acc"] >= self.best_val_acc:
                     self.best_val_acc = val["acc"]
+                    self._best_is_ours = True
                     if ckpt is not None:
                         ckpt.save(state, name="best",
                                   meta={"best_val_acc": self.best_val_acc,
@@ -471,26 +484,28 @@ class Trainer:
                                         "timestamp": timestamp})
                 loggers.log_metrics({"val/best_acc": self.best_val_acc},
                                     step=global_step)
-                # EarlyStopping on the CONFIGURED monitor (reference
-                # trainer.py:246-251: monitor train/loss, mode min).
-                # train/* monitors use the epoch mean of the train stream;
-                # val/* monitors use this epoch's validation metrics.
-                if es.enable:
-                    if es_on_train:
-                        src = {"loss": epoch_loss_sum / max(epoch_steps, 1),
-                               "acc": epoch_acc_sum / max(epoch_steps, 1)}
-                    else:
-                        src = val
-                    metric = src["loss"] if "loss" in es.monitor else src["acc"]
-                    better = (metric < self._es_best) if es.mode == "min" else \
-                        (metric > self._es_best)
-                    if better:
-                        self._es_best = metric
-                        self._es_count = 0
-                    else:
-                        self._es_count += 1
-                        if self._es_count >= es.patience:
-                            break
+            # EarlyStopping on the CONFIGURED monitor (reference
+            # trainer.py:246-251: monitor train/loss, mode min).
+            # train/* monitors consult the epoch mean of the train stream
+            # at EVERY training epoch end (Lightning checks on epoch end,
+            # not only on validation epochs); val/* monitors use the
+            # validation metrics on the epochs that ran validation.
+            if es.enable and (es_on_train or ran_val):
+                if es_on_train:
+                    src = {"loss": float(epoch_loss_sum) / max(epoch_steps, 1),
+                           "acc": float(epoch_acc_sum) / max(epoch_steps, 1)}
+                else:
+                    src = val
+                metric = src["loss"] if "loss" in es.monitor else src["acc"]
+                better = (metric < self._es_best) if es.mode == "min" else \
+                    (metric > self._es_best)
+                if better:
+                    self._es_best = metric
+                    self._es_count = 0
+                else:
+                    self._es_count += 1
+                    if self._es_count >= es.patience:
+                        break
             if cfg.trainer.fast_dev_run:
                 break
             if 0 < cfg.trainer.max_steps <= global_step:
@@ -533,7 +548,12 @@ def train(cfg: Config) -> Dict[str, float]:
     state, history = trainer.fit()
     if not cfg.trainer.fast_dev_run:
         ckpt = getattr(trainer, "_ckpt", None)
-        if ckpt is not None and ckpt.exists("best"):
+        # only a 'best' this run saved (or resumed onto) is trustworthy —
+        # a shared dirpath may hold a previous run's checkpoint with a
+        # different model structure (silently tested, or an orbax
+        # structure error)
+        if ckpt is not None and getattr(trainer, "_best_is_ours", True) \
+                and ckpt.exists("best"):
             state, _ = ckpt.restore("best", state)
         history.update({f"test/{k}": v for k, v in trainer.test(state).items()})
     return history
