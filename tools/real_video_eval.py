@@ -182,6 +182,7 @@ def train_eval(image_size: int, steps: int, train_reps: int,
     cfg.optimizer.lr = lr
     cfg.optimizer.weight_decay = 1e-4
     cfg.optimizer.use_tsn_policies = False
+    cfg.seed = seed  # --seed: init + dropout rngs AND the data stream
     trainer = Trainer(cfg)
     state = trainer.init_state(steps_per_epoch=max(steps, 1),
                                image_size=image_size)
@@ -256,7 +257,8 @@ def _stream_count(engine, path: str, rates=(1, 2, 4, 8)) -> dict:
 
 
 def repnet_eval(steps: int, image_size: int, lr: float,
-                grid: bool = False, streaming: bool = False) -> dict:
+                grid: bool = False, streaming: bool = False,
+                seed: int = 0) -> dict:
     """Train the RepNet period family on SYNTHETIC clips only, then count
     the four real example videos (models/repnet.py, zero annotations):
     the transfer test for the learnable counter. Report per-video counts
@@ -292,13 +294,14 @@ def repnet_eval(steps: int, image_size: int, lr: float,
     cfg.optimizer.lr = lr
     cfg.optimizer.weight_decay = 1e-4
     cfg.optimizer.use_tsn_policies = False
+    cfg.seed = seed  # --seed: init + dropout rngs AND the data stream
     trainer = Trainer(cfg)
     state = trainer.init_state(steps_per_epoch=max(steps, 1),
                                image_size=image_size)
     step = trainer.train_step_fn()
     ds = SyntheticPeriodicDataset(num_segments=t_win, size=1_000_000,
                                   image_size=image_size, split="train")
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     batch = 16
     t0, last = time.time(), {}
     for s in range(steps):
@@ -333,7 +336,7 @@ def repnet_eval(steps: int, image_size: int, lr: float,
         preds.append(count)
         gts.append(gt)
     mae, obo = obo_mae(preds, gts)
-    out = dict(mode="repnet", steps=steps, grid=grid,
+    out = dict(mode="repnet", steps=steps, grid=grid, seed=seed,
                final_train_acc=round(last.get("acc", 0.0), 3),
                videos=rows, raw_mae=round(mae, 4),
                obo_exact1=round(obo, 4),
@@ -362,6 +365,10 @@ def main() -> None:
     parser.add_argument("--grid", action="store_true",
                         help="repnet: also score quadrant views "
                              "(count_by_repnet grid mode)")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="repnet: jax init/dropout + synthetic data "
+                             "seed (variance characterization across "
+                             "training runs)")
     parser.add_argument("--streaming", action="store_true",
                         help="repnet: additionally count each video "
                              "through the ONLINE StreamingPeriodicCounter "
@@ -380,7 +387,7 @@ def main() -> None:
     elif args.mode == "repnet":
         res = repnet_eval(args.steps or 720, args.image_size or 64,
                           args.lr, grid=args.grid,
-                          streaming=args.streaming)
+                          streaming=args.streaming, seed=args.seed)
     else:
         res = train_eval(args.image_size or 112, args.steps or 480,
                          args.train_reps, args.lr)

@@ -27,6 +27,11 @@ from workoutdetector_tpu.settings import NATIVE_DECODER_LIB
 _LIB: Optional[ctypes.CDLL] = None
 _LIB_FAILED = False
 
+# sanity cap on whole-video decodes (~19 GB of 256x256 uint8); the chunked
+# scoring path (infer.engine.score_video_chunked) shares it so whole-video
+# and chunked outputs stay identical past the cap
+DEFAULT_MAX_FRAMES = 100_000
+
 
 def _load_native() -> Optional[ctypes.CDLL]:
     global _LIB, _LIB_FAILED
@@ -153,7 +158,7 @@ class VideoReader:
         return np.concatenate(chunks)
 
     def read_prepped(self, scale: int = 256, crop: int = 224,
-                     max_frames: int = 100_000) -> np.ndarray:
+                     max_frames: int = DEFAULT_MAX_FRAMES) -> np.ndarray:
         """Decode all frames → (T, crop, crop, 3) RGB uint8.
 
         ``crop`` must fit inside the scaled frame; models with
@@ -198,7 +203,7 @@ class VideoReader:
                 if len(frames) < chunk:
                     return
 
-    def read_raw(self, max_frames: int = 100_000) -> np.ndarray:
+    def read_raw(self, max_frames: int = DEFAULT_MAX_FRAMES) -> np.ndarray:
         """Decode all frames at source resolution → (T, H, W, 3) RGB uint8."""
         if self._lib is not None:
             h, w = self.dims

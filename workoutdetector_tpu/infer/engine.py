@@ -321,7 +321,7 @@ def score_video_chunked(engine: InferenceEngine,
                         stride: int = 2,
                         chunk_frames: int = 1024,
                         scale: int = 256,
-                        max_frames: int = 100_000
+                        max_frames: Optional[int] = None
                         ) -> Tuple[int, np.ndarray, np.ndarray]:
     """Bounded-memory decode+score of one video — bit-identical to
     decoding the whole video and calling score_video.
@@ -343,6 +343,9 @@ def score_video_chunked(engine: InferenceEngine,
     """
     from workoutdetector_tpu.data.video import VideoReader
 
+    from workoutdetector_tpu.data.video import DEFAULT_MAX_FRAMES
+    if max_frames is None:
+        max_frames = DEFAULT_MAX_FRAMES
     span = engine.num_segments * stride
     assert chunk_frames >= span, \
         f"chunk_frames {chunk_frames} must cover one window span {span}"
