@@ -129,6 +129,8 @@ def _torchvision_stubs() -> Dict[str, types.ModuleType]:
     transforms.functional = tfunc
     tio = _mod("torchvision.io", read_video=_stub_fn, write_video=_stub_fn,
                read_image=_stub_fn)
+    tio.video = _mod("torchvision.io.video", read_video=_stub_fn,
+                     write_video=_stub_fn)
     dutils = _mod("torchvision.datasets.utils",
                   download_and_extract_archive=_stub_fn,
                   verify_str_arg=_verify_str_arg)
@@ -142,6 +144,7 @@ def _torchvision_stubs() -> Dict[str, types.ModuleType]:
         "torchvision.transforms": transforms,
         "torchvision.transforms.functional": tfunc,
         "torchvision.io": tio,
+        "torchvision.io.video": tio.video,
         "torchvision.datasets": datasets,
         "torchvision.datasets.utils": dutils,
     }
@@ -386,6 +389,21 @@ def load_ref_repcount_dataset() -> types.ModuleType:
     return load_reference_module(
         "workoutdetector/datasets/repcount_dataset.py",
         "_ref_repcount_dataset", mods)
+
+
+def load_ref_build_datasets(proj_root: str) -> types.ModuleType:
+    """reference workoutdetector/scripts/build_datasets.py — the Workouts
+    dataset merge (build_workout). PROJ_ROOT is stubbed to a
+    caller-provided fixture tree; torchvision.io.video is an import-only
+    stub (build_workout touches no video IO)."""
+    mods: Dict[str, types.ModuleType] = {}
+    mods.update(_torchvision_stubs())
+    settings = _mod("workoutdetector.settings", PROJ_ROOT=proj_root)
+    pkg = _mod("workoutdetector", settings=settings)
+    mods.update({"workoutdetector": pkg,
+                 "workoutdetector.settings": settings})
+    return load_reference_module("workoutdetector/scripts/build_datasets.py",
+                                 "_ref_build_datasets", mods)
 
 
 def load_ref_mpvscreenshot() -> types.ModuleType:

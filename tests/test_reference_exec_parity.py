@@ -40,6 +40,9 @@ copied) and execute it as the oracle:
     screenshot-name parsing + byte-identical screenshots_to_csv
     (which surfaced a real 0/1/0-vs-0/1/2 labeling divergence, fixed),
     with the ≥1 h minute-arithmetic reference bug documented.
+  * build_workout (scripts/build_datasets.py:64-161) — the Workouts
+    merge over the reference's REAL classes.txt packs: all five
+    remapped label lists byte-identical.
 
 All tests skip when /root/reference is not mounted.
 """
@@ -1259,3 +1262,64 @@ def test_relabel_tooling_reference_executable(tmp_path):
     ref.screenshots_to_csv(str(shots), str(ref_csv))
     relabel.screenshots_to_csv(str(shots), str(our_csv))
     assert ref_csv.read_bytes() == our_csv.read_bytes()
+
+
+def test_build_workout_reference_executable(tmp_path):
+    """The reference's OWN Workouts merge (scripts/build_datasets.py:64-161
+    build_workout) executes over a fixture tree using the reference's REAL
+    classes.txt packs: all five remapped label lists are byte-identical to
+    scripts.build_datasets.build_workout's, including which RepCount
+    classes drop (no Workout slot) and the per-source path prefixes."""
+    import shutil
+
+    from reference_exec import load_ref_build_datasets
+    from workoutdetector_tpu.scripts.build_datasets import build_workout
+
+    proj = tmp_path / "proj"
+    rng = np.random.default_rng(0)
+    n_classes = {}
+    for src in ("RepCount", "Countix"):
+        (proj / "datasets" / src).mkdir(parents=True)
+        shutil.copy(os.path.join(REF_ROOT, "datasets", src, "classes.txt"),
+                    proj / "datasets" / src / "classes.txt")
+        n_classes[src] = len([
+            ln for ln in
+            (proj / "datasets" / src / "classes.txt").read_text().splitlines()
+            if ln.strip()])
+
+    def write_lists(src, splits):
+        d = proj / "data" / src / "rawframes"
+        d.mkdir(parents=True)
+        for split in splits:
+            rows = [f"{src.lower()}_{split}_{k} "
+                    f"{int(rng.integers(30, 300))} {k % n_classes[src]}"
+                    for k in range(2 * n_classes[src])]
+            (d / f"{split}.txt").write_text("\n".join(rows) + "\n")
+
+    write_lists("RepCount", ("train", "val", "test"))
+    write_lists("Countix", ("train", "val"))
+    (proj / "data" / "Workout" / "rawframes").mkdir(parents=True)
+
+    ref = load_ref_build_datasets(str(proj))
+    ref.build_workout()
+
+    ours_out = tmp_path / "ours_out"
+    build_workout(
+        data_root=str(proj / "data"),
+        repcount_classes_path=str(proj / "datasets/RepCount/classes.txt"),
+        countix_classes_path=str(proj / "datasets/Countix/classes.txt"),
+        out_root=str(ours_out), symlink=False)
+
+    for name in ("train_repcount.txt", "val_repcount.txt",
+                 "test_repcount.txt", "train_countix.txt",
+                 "val_countix.txt"):
+        ref_bytes = (proj / "data/Workout/rawframes" / name).read_bytes()
+        assert ref_bytes, name
+        assert ref_bytes == (ours_out / name).read_bytes(), name
+
+    # non-trivial: RepCount classes without a Workout slot must DROP rows
+    n_in = len((proj / "data/RepCount/rawframes/train.txt")
+               .read_text().splitlines())
+    n_out = len((proj / "data/Workout/rawframes/train_repcount.txt")
+                .read_text().splitlines())
+    assert 0 < n_out < n_in
