@@ -162,3 +162,40 @@ def test_grad_clip_default_matches_reference():
     up3, _ = tx0.update(big, tx0.init(params), params)
     np.testing.assert_allclose(np.asarray(up3["w"]), -np.asarray(big["w"]),
                                rtol=1e-6)
+
+
+def test_delayed_grad_clip_semantics():
+    """optimizer.grad_clip_delayed: step k is scaled by step k-1's global
+    norm (step 0 unclipped) — the pipeline-friendly clip that removes the
+    norm-reduction barrier (docs/PERF.md). Exact scale factors checked
+    over a 3-step sequence."""
+    params = {"w": jnp.zeros((4,))}
+    cfg = OptimizerConfig(method="sgd", lr=1.0, momentum=0.0,
+                          weight_decay=0.0, use_tsn_policies=False,
+                          grad_clip=20.0, grad_clip_delayed=True)
+    tx, _ = build_optimizer(cfg, LRSchedulerConfig(policy="steplr", step=1000),
+                            params, 1, 1)
+    st = tx.init(params)
+    big = {"w": jnp.full((4,), 50.0)}    # global norm 100 > 20
+    small = {"w": jnp.full((4,), 1.0)}   # global norm 2 < 20
+
+    # step 0: no previous norm -> unclipped, whatever its own norm is
+    up0, st = tx.update(big, st, params)
+    np.testing.assert_allclose(np.asarray(up0["w"]), -np.asarray(big["w"]),
+                               rtol=1e-6)
+    # step 1: clipped by step 0's norm (100) -> x 20/100
+    up1, st = tx.update(big, st, params)
+    np.testing.assert_allclose(np.asarray(up1["w"]),
+                               -np.asarray(big["w"]) * (20.0 / 100.0),
+                               rtol=1e-6)
+    # step 2: previous norm was 100 again (raw norms feed the state, not
+    # scaled ones), but the small grad's scale is min(1, 20/100) applied
+    # to a small step
+    up2, st = tx.update(small, st, params)
+    np.testing.assert_allclose(np.asarray(up2["w"]),
+                               -np.asarray(small["w"]) * (20.0 / 100.0),
+                               rtol=1e-6)
+    # step 3: previous norm 2 < 20 -> unclipped
+    up3, st = tx.update(big, st, params)
+    np.testing.assert_allclose(np.asarray(up3["w"]), -np.asarray(big["w"]),
+                               rtol=1e-6)

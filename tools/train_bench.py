@@ -40,6 +40,10 @@ def main() -> None:
     parser.add_argument("--flat-optimizer", action="store_true",
                         help="flat SGD instead of the reference's 8-group "
                         "TSN-policy multi_transform (update-stage lever)")
+    parser.add_argument("--delayed-clip", action="store_true",
+                        help="optimizer.grad_clip_delayed: clip by the "
+                             "previous step's norm — removes the "
+                             "global-norm barrier from the critical path")
     parser.add_argument("--grad-clip", type=float, default=None,
                         help="override optimizer.grad_clip (0 removes the "
                         "global-norm pass; default is the reference's 20)")
@@ -78,6 +82,7 @@ def main() -> None:
         cfg.optimizer.use_tsn_policies = False
     if args.grad_clip is not None:
         cfg.optimizer.grad_clip = args.grad_clip
+    cfg.optimizer.grad_clip_delayed = args.delayed_clip
     if args.ema:
         cfg.optimizer.ema_decay = 0.999
 
@@ -136,6 +141,7 @@ def main() -> None:
         "device_augment": args.device_augment,
         "flat_optimizer": args.flat_optimizer,
         "grad_clip": args.grad_clip,
+        "delayed_clip": args.delayed_clip,
         "full_bn": args.full_bn,
         "ema": args.ema,
     }))

@@ -143,6 +143,48 @@ def _sgd_group(lr_mult: float, decay_mult: float, schedule: optax.Schedule,
     return optax.chain(*parts)
 
 
+def delayed_clip_by_global_norm(max_norm: float
+                                ) -> optax.GradientTransformation:
+    """Pipeline-friendly clip_by_global_norm: step k scales by the norm
+    measured at step k-1 (step 0 runs unclipped).
+
+    The standard clip's global norm is a full-tree reduction BARRIER —
+    no parameter update can begin until every gradient leaf exists, which
+    serializes the optimizer behind the backward tail (measured 6.3
+    ms/step on TSM-R50 batch 32, docs/PERF.md round-3 lever table). With
+    a one-step-stale norm the per-leaf scale is a known scalar at step
+    start, so XLA overlaps the leaf updates with the rest of the backward
+    pass while THIS step's norm reduces in parallel.
+
+    Semantics deviate from the reference's clip_grad_norm
+    (mmaction optimizer_config grad_clip) by exactly one step of
+    staleness in the threshold; under the clip's actual role here —
+    catching the rare exploding step — the protection is equivalent in
+    steady state. Opt-in via ``optimizer.grad_clip_delayed``; the
+    default stays the reference-exact barrier clip.
+    """
+
+    def init_fn(params):
+        del params
+        return (jnp.asarray(0.0, jnp.float32),)  # prev step's global norm
+
+    def update_fn(updates, state, params=None):
+        del params
+        prev_norm = state[0]
+        # 0.0 is the fresh-state sentinel: no previous norm → no clip
+        scale = jnp.where(
+            prev_norm > 0.0,
+            jnp.minimum(1.0, max_norm / jnp.maximum(prev_norm, 1e-16)),
+            1.0)
+        new_updates = jax.tree_util.tree_map(lambda g: g * scale, updates)
+        # norm of the RAW gradients (clip thresholds always measure the
+        # unscaled step, matching clip_by_global_norm)
+        norm = optax.global_norm(updates).astype(jnp.float32)
+        return new_updates, (norm,)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 # params exempted from weight decay by leaf name — the reference
 # TimeSformer paramwise_cfg sets decay_mult 0 on exactly these
 # (configs/timesformer_div_8x4x1_k400.py:96-100)
@@ -175,7 +217,10 @@ def build_optimizer(opt_cfg: OptimizerConfig,
     def clipped(tx: optax.GradientTransformation) -> optax.GradientTransformation:
         # mmaction optimizer_config grad_clip (clip_grad_norm) analog
         if opt_cfg.grad_clip > 0:
-            return optax.chain(optax.clip_by_global_norm(opt_cfg.grad_clip), tx)
+            clip = (delayed_clip_by_global_norm(opt_cfg.grad_clip)
+                    if opt_cfg.grad_clip_delayed
+                    else optax.clip_by_global_norm(opt_cfg.grad_clip))
+            return optax.chain(clip, tx)
         return tx
 
     if opt_cfg.use_tsn_policies and method == "sgd":
