@@ -108,6 +108,35 @@ def test_ws_streaming_contract(server):
     asyncio.run(drive())
 
 
+def test_ws_on_http_port(server):
+    """The reference App.tsx:26 ADDRESSING contract: a WebSocket opened
+    against the HTTP port itself (ws://host:<http_port>/ws/{id}) must
+    handshake and stream — the handler upgrades and splices to the WS
+    listener. 8 frames → one scored reply, same as the direct port."""
+
+    async def drive():
+        import websockets
+        ws_task = asyncio.create_task(server.serve_ws())
+        await asyncio.sleep(0.2)
+        try:
+            uri = f"ws://127.0.0.1:{server.http_port}/ws/sameport"
+            async with websockets.connect(uri) as ws:
+                for _ in range(8):
+                    await ws.send(_frame_data_url(100))
+                reply = json.loads(await asyncio.wait_for(ws.recv(), timeout=30))
+                assert reply["success"] is True
+                assert len(reply["data"]) == 11
+                await ws.send("stop")
+        finally:
+            ws_task.cancel()
+            try:
+                await ws_task
+            except asyncio.CancelledError:
+                pass
+
+    asyncio.run(drive())
+
+
 def test_post_video_contract(server, tmp_path):
     import cv2
     path = tmp_path / "up.mp4"

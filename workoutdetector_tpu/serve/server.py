@@ -4,12 +4,15 @@ compatible.
 Rebuild of the reference FastAPI server (app/server.py:37-119 +
 app/inference.py:87-170) without fastapi/uvicorn (not in this image):
 
-  * WS ``/ws/{client_id}`` (``websockets`` package): client sends
-    ``data:image/webp;base64,<...>`` text frames (the React app's
-    protocol, app/my-app/src/App.tsx:106) or ``stop``; every 8 frames the
-    server scores one window and replies
-    ``{"success": true, "data": {label: score, ...}}`` sorted by score —
-    byte-compatible with app/inference.py:109-111.
+  * WS ``/ws/{client_id}`` (``websockets`` package), reachable on the
+    HTTP port itself (Upgrade requests splice to the in-process WS
+    listener; ws_port = http_port + 1 stays as a direct alias) — the
+    reference React app's ADDRESSING contract
+    (``ws://host:8000/ws/{id}`` on the FastAPI port, App.tsx:26) holds
+    verbatim. Client sends ``data:image/webp;base64,<...>`` text frames
+    (App.tsx:106) or ``stop``; every 8 frames the server scores one
+    window and replies ``{"success": true, "data": {label: score, ...}}``
+    sorted by score — byte-compatible with app/inference.py:109-111.
   * HTTP ``POST /video``: raw video bytes → temp file → 8-frame uniform
     sample → one scored window → same JSON shape (app/server.py:108-116).
   * HTTP ``GET /`` serves the static frontend (serve/static/).
@@ -90,7 +93,8 @@ class WorkoutServer:
     Args:
         engine: InferenceEngine over the action-recognition model.
         labels: class label list (defaults to the 11 Workouts classes).
-        host, http_port: HTTP endpoint; WS listens on http_port + 1.
+        host, http_port: HTTP endpoint; WS is served on http_port itself
+            (Upgrade splice) AND directly on ws_port (http_port + 1).
     """
 
     def __init__(self,
@@ -339,6 +343,68 @@ class WorkoutServer:
 
             MAX_UPLOAD = 256 * 1024 * 1024  # 256 MB video cap
 
+            def _splice_websocket(self):
+                """RFC6455 on the HTTP port itself.
+
+                The reference React app opens ``ws://host:8000/ws/{id}``
+                on the SAME port FastAPI serves HTTP
+                (app/my-app/src/App.tsx:26, app/server.py:85). An Upgrade
+                request here is spliced byte-for-byte to the in-process
+                websockets listener (ws_port, kept as a direct alias), so
+                one WS implementation serves both addresses and the
+                reference frontend's addressing contract holds verbatim.
+                """
+                import socket as _socket
+                ws_host = "127.0.0.1" if server.host in ("0.0.0.0", "")\
+                    else server.host
+                try:
+                    up = _socket.create_connection((ws_host, server.ws_port),
+                                                   timeout=10)
+                except OSError:
+                    self._send_json({"msg": "ws backend unavailable"}, 502)
+                    return
+                self.close_connection = True
+                req = self.requestline + "\r\n" + "".join(
+                    f"{k}: {v}\r\n" for k, v in self.headers.items()) + "\r\n"
+                conn = self.connection
+                try:
+                    up.sendall(req.encode("latin-1"))
+
+                    def client_to_upstream():
+                        # read via rfile: frames the client pipelined
+                        # right behind the handshake sit in its buffer,
+                        # not on the socket
+                        try:
+                            while True:
+                                data = self.rfile.read1(65536)
+                                if not data:
+                                    break
+                                up.sendall(data)
+                        except Exception:
+                            pass
+                        finally:
+                            try:
+                                up.shutdown(_socket.SHUT_WR)
+                            except OSError:
+                                pass
+
+                    t = threading.Thread(target=client_to_upstream,
+                                         daemon=True)
+                    t.start()
+                    try:
+                        while True:
+                            data = up.recv(65536)
+                            if not data:
+                                break
+                            conn.sendall(data)
+                    except OSError:
+                        pass
+                    # upstream closed (WS close handshake done) — handler
+                    # teardown closes the client socket, unblocking t
+                    t.join(timeout=5)
+                finally:
+                    up.close()
+
             def do_POST(self):
                 if self.path.rstrip("/") == "/video":
                     length = int(self.headers.get("Content-Length", 0))
@@ -377,6 +443,9 @@ class WorkoutServer:
                     self._send_json({"msg": "Not found"}, 404)
 
             def do_GET(self):
+                if self.headers.get("Upgrade", "").lower() == "websocket":
+                    self._splice_websocket()
+                    return
                 path = self.path.split("?")[0]
                 if path.rstrip("/") == "/healthz":
                     # liveness/readiness for load balancers: cheap (no
@@ -492,7 +561,8 @@ class WorkoutServer:
             self.warmup()
         self.start_http()
         print(f"HTTP on http://{self.host}:{self.http_port} "
-              f"(POST /video, static /), WS on ws://{self.host}:{self.ws_port}/ws/<id>")
+              f"(POST /video, static /, ws://...:{self.http_port}/ws/<id>); "
+              f"direct WS alias on ws://{self.host}:{self.ws_port}/ws/<id>")
         asyncio.run(self.serve_ws())
         self.shutdown()
 
