@@ -199,3 +199,19 @@ def test_delayed_grad_clip_semantics():
     up3, st = tx.update(big, st, params)
     np.testing.assert_allclose(np.asarray(up3["w"]), -np.asarray(big["w"]),
                                rtol=1e-6)
+    # zero-gradient step: the state records norm 0 WITHOUT resetting to
+    # the fresh-state flag (they are distinct state fields) — the next
+    # step is unclipped because the stale norm estimate is 0 (< max),
+    # the documented one-step staleness, not because the state was lost
+    zero = {"w": jnp.zeros((4,))}
+    up4, st = tx.update(zero, st, params)   # itself clipped by norm 100
+    np.testing.assert_allclose(np.asarray(up4["w"]), np.zeros((4,)))
+    assert bool(st[0][1]), "seen flag must survive a zero-norm step"
+    up5, st = tx.update(big, st, params)
+    np.testing.assert_allclose(np.asarray(up5["w"]), -np.asarray(big["w"]),
+                               rtol=1e-6)
+    # and the step after THAT is clipped by the big norm again
+    up6, st = tx.update(big, st, params)
+    np.testing.assert_allclose(np.asarray(up6["w"]),
+                               -np.asarray(big["w"]) * (20.0 / 100.0),
+                               rtol=1e-6)

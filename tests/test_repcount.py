@@ -56,6 +56,21 @@ def test_get_rep_data_filters(anno_csv):
     assert len(all_data) == 27
 
 
+def test_get_rep_data_nan_count_row(anno_csv, tmp_path):
+    """A NaN count cell behaves like the reference's ``count > 0`` on NaN
+    (False): the row loads with count 0 and no reps instead of raising."""
+    root, anno = anno_csv
+    df = pd.read_csv(anno, index_col=0)
+    df.loc[len(df)] = {"name": "nan_count.mp4", "class_": "squat",
+                       "split": "train", "count": np.nan, "reps": np.nan,
+                       "vid": "ytbX", "start": 0, "end": 300}
+    df.to_csv(anno)
+    helper = RepcountHelper(root, anno)
+    data = helper.get_rep_data(split=["train"], action=["squat"])
+    assert data["nan_count.mp4"].count == 0
+    assert data["nan_count.mp4"].reps == []
+
+
 def test_eval_count_analytic_oracle(anno_csv):
     root, anno = anno_csv
     helper = RepcountHelper(root, anno)

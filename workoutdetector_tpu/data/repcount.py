@@ -99,7 +99,10 @@ class RepcountHelper:
             total_frames = -1
             if os.path.isdir(frames_path):
                 total_frames = len(os.listdir(frames_path))
-            count = int(row["count"])
+            # NaN/non-numeric count cells behave like the reference's
+            # ``count > 0`` check on NaN (simply False): no count, no reps.
+            count_cell = row["count"]
+            count = int(count_cell) if pd.notna(count_cell) else 0
             reps = [int(x) for x in str(row["reps"]).split()] if count > 0 else []
             ret[name] = RepcountItem(video_path, frames_path, total_frames,
                                      row["class_"], count, reps, split_, name,

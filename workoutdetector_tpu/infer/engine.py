@@ -323,8 +323,11 @@ def score_video_chunked(engine: InferenceEngine,
                         scale: int = 256,
                         max_frames: Optional[int] = None
                         ) -> Tuple[int, np.ndarray, np.ndarray]:
-    """Bounded-memory decode+score of one video — bit-identical to
-    decoding the whole video and calling score_video.
+    """Bounded-memory decode+score of one video — numerically identical
+    to decoding the whole video and calling score_video (bit-exact on the
+    host-gather path; on the device-gather path mid-stream groups stage
+    as different _T_BUCKET-padded lengths → different XLA programs, so
+    logits agree to ~1e-5, asserted in tests, not bit-for-bit).
 
     Long sources make whole-video decode unsafe (a 30-min 224² video is
     ~4 GB of uint8); the window stride makes chunking exact: a window at

@@ -166,21 +166,23 @@ def delayed_clip_by_global_norm(max_norm: float
 
     def init_fn(params):
         del params
-        return (jnp.asarray(0.0, jnp.float32),)  # prev step's global norm
+        # (prev step's global norm, whether any previous step exists) —
+        # an explicit flag, NOT a 0.0 sentinel: a genuinely zero-gradient
+        # step must not reset the state and leave the NEXT step unclipped
+        return (jnp.asarray(0.0, jnp.float32), jnp.asarray(False))
 
     def update_fn(updates, state, params=None):
         del params
-        prev_norm = state[0]
-        # 0.0 is the fresh-state sentinel: no previous norm → no clip
+        prev_norm, seen = state
         scale = jnp.where(
-            prev_norm > 0.0,
+            seen,
             jnp.minimum(1.0, max_norm / jnp.maximum(prev_norm, 1e-16)),
             1.0)
         new_updates = jax.tree_util.tree_map(lambda g: g * scale, updates)
         # norm of the RAW gradients (clip thresholds always measure the
         # unscaled step, matching clip_by_global_norm)
         norm = optax.global_norm(updates).astype(jnp.float32)
-        return new_updates, (norm,)
+        return new_updates, (norm, jnp.asarray(True))
 
     return optax.GradientTransformation(init_fn, update_fn)
 

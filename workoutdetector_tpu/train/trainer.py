@@ -490,7 +490,16 @@ class Trainer:
             # at EVERY training epoch end (Lightning checks on epoch end,
             # not only on validation epochs); val/* monitors use the
             # validation metrics on the epochs that ran validation.
-            if es.enable and (es_on_train or ran_val):
+            # NOTE (resume caveat, intentional): after a mid-epoch resume
+            # the resumed epoch's train/* mean covers only its REMAINING
+            # batches, so a train-monitored early-stop decision on that
+            # one epoch can differ from an uninterrupted run (params and
+            # batch_stats stay bit-exact; only the monitor's first sample
+            # differs). epoch_steps == 0 (resume landed exactly on an
+            # epoch boundary) is skipped outright — a 0.0 mean would read
+            # as spuriously 'better' in min mode.
+            if es.enable and (es_on_train or ran_val) and \
+                    not (es_on_train and epoch_steps == 0):
                 if es_on_train:
                     src = {"loss": float(epoch_loss_sum) / max(epoch_steps, 1),
                            "acc": float(epoch_acc_sum) / max(epoch_steps, 1)}
