@@ -180,11 +180,12 @@ class OptimizerConfig(ConfigNode):
     # can blow up once logits saturate on easy data (measured: loss 0 →
     # 7e5 → nan on the brightness drive at lr 0.02).
     grad_clip: float = 20.0
-    # opt-in pipeline-friendly clip: scale step k by step k-1's global
-    # norm (one step stale) so the norm reduction stops being a barrier
-    # between the backward pass and the leaf updates — XLA overlaps them
-    # (train/optim.delayed_clip_by_global_norm, docs/PERF.md lever table).
-    # Default off: the barrier clip is the reference-exact semantics.
+    # opt-in one-step-stale clip: scale step k by step k-1's global norm
+    # (train/optim.delayed_clip_by_global_norm). Hardware A/B measured it
+    # perf-NEUTRAL on the real step (104.5 vs 104.2 ms — the 6.3 ms
+    # grad-clip cost is the norm reduction itself, not the scalar
+    # barrier; docs/PERF.md round-3 lever table). Keep False: the
+    # reference-exact barrier clip costs the same.
     grad_clip_delayed: bool = False
     use_tsn_policies: bool = True  # per-group lr/decay multipliers
     # >0 enables an exponential moving average of the params (decay per

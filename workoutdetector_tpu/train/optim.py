@@ -145,23 +145,25 @@ def _sgd_group(lr_mult: float, decay_mult: float, schedule: optax.Schedule,
 
 def delayed_clip_by_global_norm(max_norm: float
                                 ) -> optax.GradientTransformation:
-    """Pipeline-friendly clip_by_global_norm: step k scales by the norm
-    measured at step k-1 (step 0 runs unclipped).
+    """clip_by_global_norm with a one-step-stale threshold: step k
+    scales by the norm measured at step k-1 (step 0 runs unclipped).
 
-    The standard clip's global norm is a full-tree reduction BARRIER —
-    no parameter update can begin until every gradient leaf exists, which
-    serializes the optimizer behind the backward tail (measured 6.3
-    ms/step on TSM-R50 batch 32, docs/PERF.md round-3 lever table). With
-    a one-step-stale norm the per-leaf scale is a known scalar at step
-    start, so XLA overlaps the leaf updates with the rest of the backward
-    pass while THIS step's norm reduces in parallel.
+    Built to test the hypothesis that the standard clip's 6.3 ms/step
+    cost (TSM-R50 batch 32, docs/PERF.md round-3 lever table) was the
+    scalar BARRIER — no parameter update can begin until every gradient
+    leaf exists. With a stale norm the per-leaf scale is known at step
+    start, so XLA could overlap leaf updates with the backward tail.
+    **The hardware A/B falsified it** (v5e, 2026-08-20): 104.54 ms/step
+    delayed vs 104.16 barrier vs 97.9 with clipping off — the cost is
+    the norm *reduction* itself (re-walking every gradient leaf), which
+    this variant still pays every step, not the data dependence.
 
-    Semantics deviate from the reference's clip_grad_norm
-    (mmaction optimizer_config grad_clip) by exactly one step of
-    staleness in the threshold; under the clip's actual role here —
-    catching the rare exploding step — the protection is equivalent in
-    steady state. Opt-in via ``optimizer.grad_clip_delayed``; the
-    default stays the reference-exact barrier clip.
+    Semantics deviate from the reference's clip_grad_norm (mmaction
+    optimizer_config grad_clip) by exactly one step of staleness in the
+    threshold. Since the perf is neutral, there is no reason to flip
+    ``optimizer.grad_clip_delayed`` on: the default barrier clip is
+    reference-exact at the same speed. Kept as the measured record and
+    for any backend where the barrier does dominate.
     """
 
     def init_fn(params):
