@@ -145,3 +145,189 @@ def test_pipeline_single_microbatch_and_errors():
     with pytest.raises(AssertionError):
         pipeline_apply(lambda p, a: a, stacked, jnp.ones((5, 8)), mesh,
                        microbatches=2)  # 5 % 2 != 0
+
+
+# ---------------------------------------------------------------------------
+# heterogeneous stages (pipeline_apply_het): ragged activation shapes
+
+
+def _het_dense_stack(key):
+    from flax import linen as nn
+
+    dims = [16, 24, 8, 12, 6]
+
+    class Stage(nn.Module):
+        dim: int
+
+        @nn.compact
+        def __call__(self, x):
+            return nn.tanh(nn.Dense(self.dim, name="fc")(x))
+
+    stages = [Stage(dims[i + 1]) for i in range(4)]
+    params = {f"s{i}": stages[i].init(jax.random.fold_in(key, i),
+                                      jnp.zeros((1, dims[i])))["params"]
+              for i in range(4)}
+    fns = [lambda p, a, i=i: stages[i].apply({"params": p[f"s{i}"]}, a)
+           for i in range(4)]
+    return dims, params, fns
+
+
+def test_het_pipeline_matches_sequential_dense():
+    """Ragged widths 16→24→8→12→6: the flat-buffer + lax.switch pipeline
+    equals the sequential stack, forward and gradients."""
+    from workoutdetector_tpu.parallel.pipeline import pipeline_apply_het
+
+    mesh = create_mesh(devices=jax.devices()[:8], data=2, model=4)
+    dims, params, fns = _het_dense_stack(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(8, dims[0])).astype(np.float32))
+
+    seq = x
+    for f in fns:
+        seq = f(params, seq)
+    out = jax.jit(lambda p, v: pipeline_apply_het(fns, p, v, mesh, 4))(
+        params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(seq),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss_pp(p):
+        return jnp.sum(pipeline_apply_het(fns, p, x, mesh, 2) ** 2)
+
+    def loss_seq(p):
+        h = x
+        for f in fns:
+            h = f(p, h)
+        return jnp.sum(h ** 2)
+
+    g_seq = jax.grad(loss_seq)(params)
+    g_pp = jax.jit(jax.grad(loss_pp))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        g_seq, g_pp)
+
+
+def test_switch_vma_transpose_bug_documented():
+    """Minimal repro of the jax bug pipeline_apply_het works around
+    (check_vma=False there): under the DEFAULT check_vma, a lax.switch
+    whose index derives from axis_index mis-transposes — every branch's
+    parameter cotangent collapses onto branch 0. If this test FAILS,
+    jax fixed the bug and the check_vma=False escape (plus this test)
+    can be dropped."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = create_mesh(devices=jax.devices()[:8], data=2, model=4)
+    branches = [lambda w, a, i=i: a * w[i] for i in range(4)]
+
+    def local_fn(ws, x_loc):
+        s = jax.lax.axis_index("model")
+        return jax.lax.switch(s, branches, ws, x_loc)[None]
+
+    def f(ws, x):
+        out = shard_map(local_fn, mesh=mesh,
+                        in_specs=(P(), P(None, "data")),
+                        out_specs=P("model", None, "data"))(ws, x)
+        return jnp.sum(out ** 2)
+
+    ws = jnp.arange(1.0, 5.0)
+    x = jnp.ones((4, 8), jnp.float32)
+    g = np.asarray(jax.grad(f)(ws, x))
+    expected = np.array([64.0, 128.0, 192.0, 256.0])  # the true grads
+    if np.allclose(g, expected):
+        pytest.fail("jax fixed the switch-on-axis_index vma transpose; "
+                    "drop check_vma=False in pipeline_apply_het")
+    np.testing.assert_allclose(g, [expected.sum(), 0, 0, 0], rtol=1e-5)
+
+
+def _tsm_stage_fns(model, batch_stats, cuts):
+    """Stage fns over TSM segment ranges [cuts[s], cuts[s+1]) — the
+    conv-model pipeline the stacked formulation can't express
+    (models/tsm.py TSM.__call__ seg_lo/seg_hi)."""
+    def make(lo, hi):
+        def fn(params, act):
+            return model.apply({"params": params, "batch_stats": batch_stats},
+                               act, train=False, seg_lo=lo, seg_hi=hi)
+        return fn
+    return [make(cuts[s], cuts[s + 1]) for s in range(len(cuts) - 1)]
+
+
+def _init_tsm(base_model, num_class=6, t=8, size=32, key=0):
+    from workoutdetector_tpu.models.tsm import TSM
+
+    model = TSM(num_class=num_class, num_segments=t, base_model=base_model,
+                dropout=0.0, dtype=jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(key)},
+                           jnp.zeros((1, t, size, size, 3)), train=False)
+    return model, variables
+
+
+def test_het_pipeline_tsm_r18_stages():
+    """TSM-R18 split at the layer2|layer3 boundary pipelines over
+    model=2 — forward equal to the one-shot apply AND gradients equal to
+    the sequential composition (conv stages, heterogeneous shapes)."""
+    from workoutdetector_tpu.parallel.pipeline import pipeline_apply_het
+
+    mesh = create_mesh(devices=jax.devices()[:8], data=4, model=2)
+    model, variables = _init_tsm("resnet18")
+    params, bstats = variables["params"], variables.get("batch_stats", {})
+    fns = _tsm_stage_fns(model, bstats, [0, 3, 6])
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        size=(8, 8, 32, 32, 3)).astype(np.float32))
+
+    seq = model.apply(variables, x, train=False)
+    out = jax.jit(lambda p, v: pipeline_apply_het(fns, p, v, mesh, 2))(
+        params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(seq),
+                               rtol=1e-5, atol=1e-5)
+
+    y = jax.nn.one_hot(jnp.arange(8) % 6, 6)
+
+    def loss_seq(p):
+        logits = model.apply({"params": p, "batch_stats": bstats}, x,
+                             train=False)
+        return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * y, -1))
+
+    def loss_pp(p):
+        logits = pipeline_apply_het(fns, p, x, mesh, 2)
+        return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * y, -1))
+
+    g_seq = jax.grad(loss_seq)(params)
+    g_pp = jax.jit(jax.grad(loss_pp))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        g_seq, g_pp)
+
+
+def test_het_pipeline_tsm_r50_two_stage():
+    """The VERDICT r3 artifact: the flagship TSM-R50 pipelined as 2
+    heterogeneous conv stages == the sequential model on the 8-device
+    CPU mesh (dp=4 × pp=2, 4 microbatches)."""
+    from workoutdetector_tpu.parallel.pipeline import pipeline_apply_het
+
+    mesh = create_mesh(devices=jax.devices()[:8], data=4, model=2)
+    model, variables = _init_tsm("resnet50", key=7)
+    params, bstats = variables["params"], variables.get("batch_stats", {})
+    fns = _tsm_stage_fns(model, bstats, [0, 3, 6])
+    x = jnp.asarray(np.random.default_rng(2).normal(
+        size=(8, 8, 32, 32, 3)).astype(np.float32))
+
+    seq = np.asarray(model.apply(variables, x, train=False))
+    out = np.asarray(jax.jit(
+        lambda p, v: pipeline_apply_het(fns, p, v, mesh, 2))(params, x))
+    np.testing.assert_allclose(out, seq, rtol=1e-5, atol=1e-5)
+
+
+def test_het_pipeline_seg_api_composition():
+    """The segment-range apply composes exactly: running [0,3) then
+    [3,6) equals the one-shot forward (no pipeline involved — pins the
+    seg_lo/seg_hi contract itself, bit-for-bit)."""
+    model, variables = _init_tsm("resnet18", key=3)
+    x = jnp.asarray(np.random.default_rng(3).normal(
+        size=(2, 8, 32, 32, 3)).astype(np.float32))
+    full = np.asarray(model.apply(variables, x, train=False))
+    mid = model.apply(variables, x, train=False, seg_lo=0, seg_hi=3)
+    staged = np.asarray(model.apply(variables, mid, train=False,
+                                    seg_lo=3, seg_hi=6))
+    np.testing.assert_array_equal(staged, full)

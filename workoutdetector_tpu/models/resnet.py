@@ -290,9 +290,22 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, features_only: bool = False,
-                 spatial: bool = False):
+                 spatial: bool = False, seg_lo: int = 0, seg_hi: int = 6):
         """spatial=True returns the pre-pool (N, H/32, W/32, C) feature map
-        — the detection/pose heads' input (models/detector.py, pose)."""
+        — the detection/pose heads' input (models/detector.py, pose).
+
+        seg_lo/seg_hi select a static SEGMENT RANGE [seg_lo, seg_hi) for
+        pipeline-parallel stage functions (parallel/pipeline.py
+        pipeline_apply_het): segment 0 = stem (conv1/bn1/pool), segments
+        1..4 = the residual stages, segment 5 = head (pool [+fc]). With
+        seg_lo > 0, ``x`` is the activation at that boundary; with
+        seg_hi < 6 the raw boundary activation is returned. Param names
+        are position-independent (layer{i}_{j}), so a partial apply
+        reads the same tree as the full one."""
+        assert 0 <= seg_lo < seg_hi <= 6, (seg_lo, seg_hi)
+        if (seg_lo, seg_hi) != (0, 6):
+            assert self.out_indices is None, \
+                "segment-ranged apply doesn't support out_indices taps"
         norm_stem = partial(FrozenAwareBatchNorm, momentum=self.bn_momentum,
                             epsilon=self.bn_eps, dtype=self.dtype, frozen=False)
         norm_body = partial(FrozenAwareBatchNorm, momentum=self.bn_momentum,
@@ -302,14 +315,17 @@ class ResNet(nn.Module):
         if self.remat:
             block_cls = nn.remat(block_cls)
 
-        x = nn.Conv(self.width, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = norm_stem(name="bn1")(x, use_running_average=not train)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if seg_lo == 0:
+            x = nn.Conv(self.width, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
+                        use_bias=False, dtype=self.dtype, name="conv1")(x)
+            x = norm_stem(name="bn1")(x, use_running_average=not train)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         taps = []
         for i, n_blocks in enumerate(self.stage_sizes):
+            if not (seg_lo <= i + 1 < seg_hi):
+                continue
             filters = self.width * 2 ** i
             if self.stage_input_hook is not None:
                 x = self.stage_input_hook(x, stage_idx=i)
@@ -344,6 +360,8 @@ class ResNet(nn.Module):
 
         if self.out_indices is not None:
             return tuple(taps)
+        if seg_hi < 6:
+            return x  # boundary activation for the next pipeline stage
         if spatial:
             return x
         x = jnp.mean(x, axis=(1, 2))  # global average pool → (N, C)

@@ -102,10 +102,34 @@ class TSM(nn.Module):
         return pooled.reshape(b * (t // 2), h, w, c)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        b, t, h, w, c = x.shape
-        assert t == self.num_segments, f"expected T={self.num_segments}, got {t}"
-        x = x.reshape(b * t, h, w, c).astype(self.dtype)
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 seg_lo: int = 0, seg_hi: int = 6) -> jnp.ndarray:
+        """seg_lo/seg_hi run a static segment range for pipeline-parallel
+        stage functions (models/resnet.py ResNet.__call__ segments 0-4;
+        segment 5 = pool + dropout + fc + consensus). Boundary
+        activations are exchanged CLIP-major — (B, T', h, w, c), T' = T
+        (or T/2 past the temporal pool) — so the pipeline's batch dim
+        stays the clip batch; the frame-flat (B*T') backbone layout is
+        internal."""
+
+        def t_at(boundary: int) -> int:
+            # temporal_pool halves T inside segment 2's stage hook, so
+            # boundaries ≥ 3 carry T/2 frames
+            if self.temporal_pool and boundary >= 3:
+                return self.num_segments // 2
+            return self.num_segments
+
+        if seg_lo == 0:
+            b, t, h, w, c = x.shape
+            assert t == self.num_segments, \
+                f"expected T={self.num_segments}, got {t}"
+            x = x.reshape(b * t, h, w, c).astype(self.dtype)
+        else:
+            t = self.num_segments
+            b_in, t_in, h, w, c = x.shape
+            assert t_in == t_at(seg_lo), \
+                f"boundary {seg_lo} expects T'={t_at(seg_lo)}, got {t_in}"
+            x = x.reshape(b_in * t_in, h, w, c).astype(self.dtype)
 
         hook = None
         pre_hook = None
@@ -155,12 +179,18 @@ class TSM(nn.Module):
                           block_fuse_spec=fuse_spec,
                           remat=self.remat,
                           name="backbone")
-        feat = backbone(x, train=train)  # (B*T', F), T' = T or T/2
+        feat = backbone(x, train=train, seg_lo=seg_lo,
+                        seg_hi=seg_hi)  # (B*T', F), T' = T or T/2
+        if seg_hi < 6:
+            # boundary activation for the next pipeline stage, clip-major
+            t_b = t_at(seg_hi)
+            return feat.reshape(-1, t_b, *feat.shape[1:])
         feat = nn.Dropout(self.dropout, deterministic=not train)(feat)
         logits = nn.Dense(self.num_class, dtype=self.dtype,
                           kernel_init=nn.initializers.normal(0.001),
                           bias_init=nn.initializers.zeros, name="fc")(feat)
         t_out = t // 2 if self.temporal_pool else t
+        b = feat.shape[0] // t_out
         logits = logits.reshape(b, t_out, self.num_class)
         if self.consensus_type == "avg":
             logits = jnp.mean(logits.astype(jnp.float32), axis=1)
