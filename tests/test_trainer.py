@@ -540,3 +540,49 @@ def test_train_reloads_best_before_test(tmp_path, monkeypatch):
     np.testing.assert_array_equal(leaf(seen["params"]), leaf(best))
     # ...which genuinely differs from the final state
     assert not np.array_equal(leaf(best), leaf(last))
+
+
+def test_gradient_watch(tmp_path):
+    """log.watch_every_n_steps (reference wandb.watch, trainer.py:266):
+    the watch step variant returns per-leaf grad/param norm vectors that
+    match manual norms, a watched fit writes watch/* columns to the CSV
+    logger, and leaf labels line up with param_leaf_paths."""
+    cfg = small_cfg(tmp_path)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(steps_per_epoch=2,
+                               image_size=cfg.data.image_size)
+    step_w = trainer.train_step_fn(watch=True)
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, 256, size=(8, 4, 16, 16, 3), dtype=np.uint8)
+    y = (x.reshape(8, -1).mean(1) > 127).astype(np.int32)
+    bx, by = shard_batch((x, y), trainer.mesh)
+    new_state, m = step_w(state, bx, by)
+    paths = trainer.param_leaf_paths(state.params)
+    gl = np.asarray(m["watch_grad_leaf_norms"])
+    pl = np.asarray(m["watch_param_leaf_norms"])
+    assert gl.shape == pl.shape == (len(paths),)
+    assert np.all(np.isfinite(gl)) and np.all(np.isfinite(pl))
+    # param norms verify directly against the post-update params
+    manual = np.array([float(np.linalg.norm(np.asarray(p, np.float32)))
+                       for p in jax.tree_util.tree_leaves(new_state.params)])
+    np.testing.assert_allclose(pl, manual, rtol=1e-5)
+    # the plain step's metrics carry no watch keys (zero cost off-step)
+    _, m_plain = trainer.train_step_fn()(new_state, bx, by)
+    assert "watch_grad_leaf_norms" not in m_plain
+
+    # watched fit end-to-end: watch/* columns appear in metrics.csv
+    cfg2 = small_cfg(tmp_path / "w")
+    cfg2.log.watch_every_n_steps = 2
+    cfg2.trainer.max_epochs = 2
+    from workoutdetector_tpu.train.trainer import train as train_fn
+    train_fn(cfg2)
+    import csv as _csv
+    import glob
+    csv_path = glob.glob(str(tmp_path / "w" / "exp" / "**" / "metrics.csv"),
+                         recursive=True)[0]
+    with open(csv_path) as f:
+        rows = list(_csv.DictReader(f))
+    watched = [r for r in rows if r.get("watch/grad_global_norm")]
+    assert watched, "no watch rows logged"
+    assert "watch/grad_leaf_norms/mean" in rows[0].keys()
+    assert any(r.get("watch/grad_leaf_norms/argmax_leaf") for r in rows)

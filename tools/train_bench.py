@@ -52,6 +52,11 @@ def main() -> None:
                         "more elementwise traffic in fwd+bwd)")
     parser.add_argument("--ema", action="store_true",
                         help="EMA weight averaging in the step (one tree-fma)")
+    parser.add_argument("--watch", type=int, default=0, metavar="N",
+                        help="log.watch_every_n_steps: every N steps run "
+                        "the watch step variant (per-leaf grad/param norm "
+                        "vectors fetched to host) — measures the gradient-"
+                        "watch hook's amortized cost")
     parser.add_argument("--trace", default=None, metavar="DIR",
                         help="jax.profiler trace of the timed steps into DIR "
                         "(read with tools/trace_top.py)")
@@ -89,6 +94,7 @@ def main() -> None:
     trainer = Trainer(cfg)
     state = trainer.init_state(steps_per_epoch=100, image_size=args.image_size)
     step = trainer.train_step_fn()
+    watch_step = trainer.train_step_fn(watch=True) if args.watch else None
     rng = np.random.default_rng(0)
     in_size = cfg.data.scale_size if args.device_augment else args.image_size
     x = rng.integers(0, 256, (args.batch, 8, in_size, in_size, 3),
@@ -113,6 +119,9 @@ def main() -> None:
         pass  # cost analysis unavailable on this backend — wall time only
     state, m = step(state, bx, by)  # compile
     np.asarray(m["loss"])
+    if watch_step is not None:
+        state, wm = watch_step(state, bx, by)  # compile the watch variant
+        np.asarray(wm["watch_grad_leaf_norms"])
     # first post-compile batch runs ~1.5x slow on the tunnel; warm up
     for _ in range(3):
         state, m = step(state, bx, by)
@@ -120,10 +129,17 @@ def main() -> None:
     if args.trace:
         jax.profiler.start_trace(args.trace)
     t0 = time.perf_counter()
-    for _ in range(args.steps):
+    for i in range(args.steps):
         if not args.resident:
             bx, by = shard_batch((x, y), trainer.mesh)  # include H2D
-        state, m = step(state, bx, by)
+        if watch_step is not None and (i + 1) % args.watch == 0:
+            # the fit loop's exact behavior: watch step + ONE host fetch
+            # of both norm vectors on the watch step itself
+            state, m = watch_step(state, bx, by)
+            np.asarray(m["watch_grad_leaf_norms"])
+            np.asarray(m["watch_param_leaf_norms"])
+        else:
+            state, m = step(state, bx, by)
     np.asarray(m["loss"])
     dt = (time.perf_counter() - t0) / args.steps
     if args.trace:
@@ -144,6 +160,7 @@ def main() -> None:
         "delayed_clip": args.delayed_clip,
         "full_bn": args.full_bn,
         "ema": args.ema,
+        "watch_every": args.watch,
     }))
 
 

@@ -324,6 +324,11 @@ class LogConfig(ConfigNode):
     # capture a jax.profiler device trace for this many steps (0 = off);
     # the trace lands in <run_dir>/profile
     profile_steps: int = 0
+    # every N steps additionally log gradient/parameter norm histograms
+    # (per-leaf norms computed device-side by a dedicated watch step fn,
+    # fetched in ONE host round-trip) — the reference's
+    # wandb_logger.watch(model) (trainer.py:266). 0 = off.
+    watch_every_n_steps: int = 0
 
 
 @dataclass

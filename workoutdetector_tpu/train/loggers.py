@@ -26,6 +26,22 @@ class CSVLogger:
         with open(os.path.join(self.dir, "hparams.json"), "w") as f:
             json.dump(params, f, indent=2, default=str)
 
+    def log_histograms(self, hists: Dict[str, Any], step: int = 0,
+                       labels: Optional[List[str]] = None) -> None:
+        """CSV has no histogram type: log schema-stable summary scalars
+        (mean/max) plus the argmax leaf's label when one is supplied —
+        enough to spot an exploding layer from the csv alone."""
+        del_labels = labels or []
+        row: Dict[str, Any] = {}
+        for tag, values in hists.items():
+            import numpy as _np
+            v = _np.asarray(values)
+            row[f"{tag}/mean"] = float(v.mean()) if v.size else 0.0
+            row[f"{tag}/max"] = float(v.max()) if v.size else 0.0
+            if del_labels and v.size == len(del_labels):
+                row[f"{tag}/argmax_leaf"] = del_labels[int(v.argmax())]
+        self.log_metrics(row, step=step)
+
     def log_metrics(self, metrics: Dict[str, Any], step: int = 0) -> None:
         row = {"step": step, **metrics}
         new_fields = [k for k in row if k not in self._fields]
@@ -67,6 +83,17 @@ class TensorBoardLogger:
             except (TypeError, ValueError):
                 pass
 
+    def log_histograms(self, hists: Dict[str, Any], step: int = 0,
+                       labels: Optional[List[str]] = None) -> None:
+        del labels  # TB histograms are unlabeled distributions
+        if self.writer is None:
+            return
+        for tag, values in hists.items():
+            try:
+                self.writer.add_histogram(tag, values, step)
+            except Exception:
+                pass
+
     def close(self) -> None:
         if self.writer is not None:
             self.writer.close()
@@ -93,6 +120,18 @@ class WandbLogger:
         if self.run is not None:
             self.run.log(metrics, step=step)
 
+    def log_histograms(self, hists: Dict[str, Any], step: int = 0,
+                       labels: Optional[List[str]] = None) -> None:
+        del labels
+        if self.run is None:
+            return
+        try:
+            import wandb
+            self.run.log({k: wandb.Histogram(v) for k, v in hists.items()},
+                         step=step)
+        except Exception:
+            pass
+
 
 class LoggerCollection:
     def __init__(self, loggers: List[Any]):
@@ -105,6 +144,16 @@ class LoggerCollection:
     def log_metrics(self, metrics: Dict[str, Any], step: int = 0) -> None:
         for lg in self.loggers:
             lg.log_metrics(metrics, step=step)
+
+    def log_histograms(self, hists: Dict[str, Any], step: int = 0,
+                       labels: Optional[List[str]] = None) -> None:
+        """Gradient/param watching (reference wandb.watch,
+        trainer.py:266): values are 1-D arrays (e.g. per-leaf norms);
+        each backend renders them its own way (TB/W&B histograms, CSV
+        mean/max summaries)."""
+        for lg in self.loggers:
+            if hasattr(lg, "log_histograms"):
+                lg.log_histograms(hists, step=step, labels=labels)
 
     def close(self) -> None:
         for lg in self.loggers:

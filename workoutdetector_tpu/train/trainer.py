@@ -153,7 +153,7 @@ class Trainer:
     # ------------------------------------------------------------------ #
     # compiled steps
     # ------------------------------------------------------------------ #
-    def _make_train_step(self):
+    def _make_train_step(self, watch: bool = False):
         model, tx = self.model, self.tx
         base_key = jax.random.PRNGKey(self.cfg.seed + 1)
         aug_key = jax.random.PRNGKey(self.cfg.seed + 2)
@@ -222,7 +222,21 @@ class Trainer:
                                       batch_stats=new_stats,
                                       opt_state=new_opt,
                                       ema_params=new_ema)
-            return new_state, {"loss": loss, "acc": acc}
+            out_metrics = {"loss": loss, "acc": acc}
+            if watch:
+                # per-leaf grad/param L2 norms (the reference's
+                # wandb.watch(model) histograms, trainer.py:266), stacked
+                # into two device vectors so the host pays ONE fetch;
+                # leaf order matches jax.tree_util.tree_leaves(params)
+                # (paths via Trainer.param_leaf_paths)
+                gl = jnp.stack([jnp.linalg.norm(g.astype(jnp.float32))
+                                for g in jax.tree_util.tree_leaves(grads)])
+                pl = jnp.stack([jnp.linalg.norm(p.astype(jnp.float32))
+                                for p in
+                                jax.tree_util.tree_leaves(new_params)])
+                out_metrics["watch_grad_leaf_norms"] = gl
+                out_metrics["watch_param_leaf_norms"] = pl
+            return new_state, out_metrics
 
         # out_shardings pins the new state to the same layout as the input
         # state — without it XLA may propagate a 'model' sharding onto small
@@ -270,10 +284,18 @@ class Trainer:
         # fall back to replicated so the step still compiles.
         return getattr(self, "_state_sharding", replicated_sharding(self.mesh))
 
-    def train_step_fn(self):
-        if "train" not in self._step_fns:
-            self._step_fns["train"] = self._make_train_step()
-        return self._step_fns["train"]
+    def train_step_fn(self, watch: bool = False):
+        key = "train_watch" if watch else "train"
+        if key not in self._step_fns:
+            self._step_fns[key] = self._make_train_step(watch=watch)
+        return self._step_fns[key]
+
+    def param_leaf_paths(self, params) -> list:
+        """Flattened '/'-joined leaf names in tree_leaves order — the
+        labels for the watch step's per-leaf norm vectors."""
+        flat, _ = jax.tree_util.tree_flatten_with_path(params)
+        return ["/".join(str(getattr(k, "key", k)) for k in path)
+                for path, _ in flat]
 
     def eval_step_fn(self):
         if "eval" not in self._step_fns:
@@ -392,6 +414,14 @@ class Trainer:
             self._best_is_ours = True
 
         train_step = self.train_step_fn()
+        # gradient/param watching (reference wandb.watch, trainer.py:266):
+        # a separate compiled step that also returns per-leaf norm vectors
+        # runs on watch steps only, so the norm reductions cost nothing on
+        # the other watch_every-1 steps
+        watch_every = cfg.log.watch_every_n_steps
+        watch_step = self.train_step_fn(watch=True) if watch_every > 0 else None
+        watch_paths = self.param_leaf_paths(state.params) if watch_every > 0 \
+            else []
         max_epochs = 1 if cfg.trainer.fast_dev_run else cfg.trainer.max_epochs
         history: Dict[str, float] = {}
         global_step = int(state.step)
@@ -430,8 +460,21 @@ class Trainer:
                 if cfg.log.profile_steps > 0 and global_step == 1 and not profiling:
                     jax.profiler.start_trace(os.path.join(log_dir, "profile"))
                     profiling = True
-                state, metrics = train_step(state, bx, by)
+                watching = watch_every > 0 and (global_step + 1) % watch_every == 0
+                state, metrics = (watch_step if watching else train_step)(
+                    state, bx, by)
                 global_step += 1
+                if watching:
+                    gl = np.asarray(metrics.pop("watch_grad_leaf_norms"))
+                    pl = np.asarray(metrics.pop("watch_param_leaf_norms"))
+                    loggers.log_histograms(
+                        {"watch/grad_leaf_norms": gl,
+                         "watch/param_leaf_norms": pl},
+                        step=global_step, labels=watch_paths)
+                    loggers.log_metrics(
+                        {"watch/grad_global_norm": float(np.linalg.norm(gl)),
+                         "watch/param_global_norm": float(np.linalg.norm(pl))},
+                        step=global_step)
                 if es_on_train:
                     # accumulate the DEVICE scalars — a float() here would
                     # block every step on a host round-trip (ruinous over
