@@ -555,3 +555,73 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     if isinstance(ckpt, dict) and "state_dict" in ckpt:
         return ckpt["state_dict"]
     return ckpt
+
+
+def port_vit_checkpoint(state_dict: Mapping[str, Any],
+                        num_class: int,
+                        target_params: Optional[Any] = None,
+                        prefix: Tuple[str, ...] = ("backbone_img",)
+                        ) -> Dict[str, Any]:
+    """Port a timm-layout ViT image checkpoint (vit_*_patch*_224:
+    cls_token / pos_embed / patch_embed.proj / blocks.N.{norm1, attn.qkv,
+    attn.proj, norm2, mlp.fc1, mlp.fc2} / norm / head) into the
+    models/factory.ImageClassifier vit branch — a TimeSformer
+    space_only encoder at T=1 under ``prefix``. The reference's
+    train_img.py:28 loads the same names through timm(pretrained=True).
+    Head weights whose output dim mismatches ``num_class`` are dropped
+    (timm's own num_classes re-head behavior)."""
+    sd = strip_ddp_prefix(dict(state_dict))
+    head_w = sd.get("head.weight")
+    drop_head = head_w is not None and \
+        _to_numpy(head_w).shape[0] != num_class
+    blk = re.compile(r"blocks\.(\d+)\.(.*)")
+    table = {
+        "norm1": ("s_norm",), "attn.qkv": ("s_attn", "qkv"),
+        "attn.proj": ("s_attn", "proj"), "norm2": ("mlp_norm",),
+        "mlp.fc1": ("mlp", "fc1"), "mlp.fc2": ("mlp", "fc2"),
+    }
+    params: Dict[Tuple[str, ...], np.ndarray] = {}
+    for k, v in sd.items():
+        arr = _to_numpy(v)
+        path: Optional[Tuple[str, ...]] = None
+        kind = "dense"
+        if k in ("cls_token", "pos_embed"):
+            path, kind = (k,), "embed"
+        elif k.startswith("patch_embed.proj."):
+            path, kind = ("patch_embed", k.rsplit(".", 1)[1]), "conv"
+        elif k.startswith("norm."):
+            path, kind = ("norm", k.rsplit(".", 1)[1]), "norm"
+        elif k.startswith("head."):
+            if drop_head:
+                continue
+            path = ("fc", k.rsplit(".", 1)[1])
+        else:
+            m = blk.match(k)
+            if m:
+                stem, leaf = m.group(2).rsplit(".", 1)
+                hit = table.get(stem)
+                if hit is None:
+                    continue
+                path = (f"block_{m.group(1)}",) + hit + (leaf,)
+                kind = "norm" if stem.startswith("norm") else "dense"
+        if path is None:
+            continue
+        leaf = path[-1]
+        if leaf == "weight":
+            if kind == "conv":  # OIHW → HWIO
+                arr = np.transpose(arr, (2, 3, 1, 0))
+                leaf = "kernel"
+            elif kind == "dense":  # (out, in) → (in, out)
+                arr = np.transpose(arr, (1, 0))
+                leaf = "kernel"
+            else:
+                leaf = "scale"
+        if kind == "embed":
+            params[prefix + path] = arr
+        else:
+            params[prefix + path[:-1] + (leaf,)] = arr
+    tree = {"params": traverse_util.unflatten_dict(params),
+            "batch_stats": {}}
+    if target_params is not None:
+        tree["params"] = merge_into(target_params, tree["params"])
+    return tree

@@ -128,11 +128,14 @@ def build_model(cfg: ModelConfig) -> nn.Module:
                       dropout=cfg.dropout,
                       dtype=dtype)
     if mt == "image":
-        # image-classifier path (reference train_img.py:44 defaults to
-        # timm convnext_base): ConvNeXt zoo + ResNet zoo
+        # image-classifier path (reference train_img.py:28-45 takes ANY
+        # timm model name via config, defaulting to convnext_base):
+        # ConvNeXt zoo + ResNet zoo + ViT zoo (timm vit_* names)
         from workoutdetector_tpu.models.convnext import CONVNEXT_VARIANTS
+        from workoutdetector_tpu.models.timesformer import VIT_VARIANTS
         if cfg.base_model not in STAGE_SIZES and \
-                cfg.base_model not in CONVNEXT_VARIANTS:
+                cfg.base_model not in CONVNEXT_VARIANTS and \
+                cfg.base_model not in VIT_VARIANTS:
             raise KeyError(f"Unknown image backbone '{cfg.base_model}'")
         return ImageClassifier(base_model=cfg.base_model,
                                num_class=cfg.num_class,
@@ -153,6 +156,21 @@ class ImageClassifier(nn.Module):
         if x.ndim == 5:
             assert x.shape[1] == 1, f"expected single-frame clips, got {x.shape}"
             x = x[:, 0]
+        if self.base_model.startswith("vit_"):
+            # ViT image classifier == TimeSformer space_only at T=1 (the
+            # per-frame ViT with cls averaged over one frame IS a plain
+            # ViT) — one encoder implementation serves both surfaces.
+            # Port timm/HF checkpoints with models/convert.
+            #     port_vit_checkpoint(sd, n)
+            from workoutdetector_tpu.models.timesformer import (
+                TimeSformer, VIT_VARIANTS, vit_patch_size)
+            d, depth, heads = VIT_VARIANTS[self.base_model]
+            net = TimeSformer(num_class=self.num_class, num_segments=1,
+                              patch_size=vit_patch_size(self.base_model),
+                              embed_dims=d, num_layers=depth,
+                              num_heads=heads, attention_type="space_only",
+                              dtype=self.dtype, name="backbone_img")
+            return net(x[:, None], train=train).astype(jnp.float32)
         if self.base_model.startswith("convnext"):
             from workoutdetector_tpu.models.convnext import (
                 CONVNEXT_VARIANTS, ConvNeXt)

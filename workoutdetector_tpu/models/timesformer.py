@@ -29,6 +29,7 @@ TPU design:
 
 from __future__ import annotations
 
+import re
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -39,11 +40,22 @@ from jax.sharding import PartitionSpec as P
 
 from workoutdetector_tpu.parallel.mesh import dp_entry, seq_constrain
 
-# ViT variants accepted as TimeSformer backbones: (embed, depth, heads)
+# ViT variants accepted as TimeSformer backbones AND as image
+# classifiers (models/factory.ImageClassifier base_model=vit_*, the
+# reference train_img.py's timm-name surface): (embed, depth, heads)
 VIT_VARIANTS = {
+    "vit_tiny_patch16_224": (192, 12, 3),
+    "vit_small_patch16_224": (384, 12, 6),
     "vit_base_patch16_224": (768, 12, 12),
+    "vit_base_patch32_224": (768, 12, 12),
     "vit_large_patch16_224": (1024, 24, 16),
 }
+
+
+def vit_patch_size(name: str) -> int:
+    """Patch size encoded in a timm ViT name (vit_*_patch{P}_*)."""
+    m = re.search(r"patch(\d+)", name)
+    return int(m.group(1)) if m else 16
 
 
 def _drop_path(x: jnp.ndarray, rate: float, deterministic: bool,
