@@ -90,11 +90,11 @@ def test_similarity_counter_real_squat(feature_engine):
 def test_motion_detector_fires_on_real_footage():
     """The motion-saliency person backend (data/person.py) on real
     compressed video: every frame of the pull-up has motion activity, and
-    PersonCrop stays shape-stable. NOTE the honest limitation this probe
-    documented: per-clip union boxes grow to ~99% of the frame on real
-    footage (sensor noise + compression spread the temporal diffs), so
-    PersonCrop is nearly a no-op here — the learned backend
-    (models/detector.py) is the quality path, as docs/ say."""
+    PersonCrop stays shape-stable. Per-clip union boxes grow toward the
+    whole frame on real footage (measured 0.83-1.0 area fraction across
+    the four example videos, --mode person) — PersonCrop ≈ no-op here;
+    see test_person_crop_real_footage_verdict for the full measured
+    story including the learned backend."""
     from workoutdetector_tpu.data.person import Detector, PersonCrop
     from workoutdetector_tpu.data.video import VideoReader
     with VideoReader(osp.join(EXAMPLES, "stu1_40.mp4")) as r:
@@ -105,6 +105,54 @@ def test_motion_detector_fires_on_real_footage():
     assert all(len(b) == 1 for b in boxes)  # real footage always moves
     out = PersonCrop(det)(clip)
     assert out.shape == clip.shape and out.dtype == np.uint8
+
+
+def test_person_crop_real_footage_verdict():
+    """VERDICT r3 #5 gate — the MEASURED PersonCrop story on real
+    footage (full table: tools/real_video_eval.py --mode person,
+    2026-08-20, 8 hand-annotated frames across all four videos):
+
+      * the synthetic-trained learned CenterNet localizes real humans
+        WORSE than motion saliency per-frame (mean IoU 0.191 vs 0.438) —
+        the synthetic person_scene domain does not transfer, and with
+        zero egress there is no real detection data to close the gap;
+      * downstream, learned-crop HURT the training-free counter (raw MAE
+        0.75 vs 0.5 uncropped) while motion-crop left every count
+        unchanged (union area fraction 0.83-1.0 ≈ no-op).
+
+    ⇒ person_crop stays DEFAULT-OFF for real video; the reference's
+    person-crop eval variant exists (datasets/build.py:115-136 parity)
+    but is not recommended here. This gate pins the comparison on the
+    pull-up so a detector improvement that flips the verdict fails
+    loudly — if it does, revisit the default and the docs.
+    """
+    from workoutdetector_tpu.data.person import Detector
+    from workoutdetector_tpu.data.synthetic import iou, person_dataset
+    from workoutdetector_tpu.data.video import VideoReader
+    from workoutdetector_tpu.models.detector import train_detector
+
+    # hand boxes from tools/real_video_eval.HAND_BOXES (annotated by eye)
+    hand = {100: (55, 75, 160, 350), 200: (55, 80, 150, 340)}
+    imgs, bxs = person_dataset(48, size=64, seed=0)
+    learned = Detector(backend=train_detector(imgs, bxs, steps=150,
+                                              lr=2e-3, batch=8))
+    motion = Detector("motion")
+    with VideoReader(osp.join(EXAMPLES, "stu1_40.mp4")) as r:
+        frames = r.read_raw()
+    scores = {"learned": [], "motion": []}
+    for idx, hb in hand.items():
+        clip = frames[idx - 4:idx + 5]
+        for label, det in (("learned", learned), ("motion", motion)):
+            bs = det.detect(clip)[4]
+            scores[label].append(
+                0.0 if len(bs) == 0 else
+                float(iou(np.asarray(hb, np.float32), bs[0])))
+    # motion localizes usefully (IoU ≈ 0.4 on these frames)...
+    assert np.mean(scores["motion"]) > 0.25, scores
+    # ...and the measured verdict: synthetic-trained learned does NOT
+    # beat it on real footage (if this fails, the detector improved —
+    # flip the person_crop guidance in STATUS/docs)
+    assert np.mean(scores["learned"]) < np.mean(scores["motion"]), scores
 
 
 def test_similarity_eval_dataset_real_annotation(feature_engine, tmp_path):

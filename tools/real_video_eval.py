@@ -64,6 +64,162 @@ COUNTIX_GT = {  # name -> (action, ground-truth count over the clip)
 
 GT_REP_STARTS = [19, 54, 89, 127, 158, 197, 238, 276]  # stu1_40 annotation
 
+# Countix repetition spans for the three val clips, RELATIVE to the
+# shipped clip's start (the csv's repetition_start/end are absolute in
+# the source video; the clips begin at kinetics_start):
+# datasets/Countix/countix_val.csv rows 315-316, 1245, 1258.
+COUNTIX_SPANS = {
+    "upVOY01QDpI.mp4": [(0.0, 10.0, 3)],
+    "U7b4jSjtdFQ.mp4": [(0.0, 5.880881, 2)],
+    "4-YmQKoHYmw.mp4": [(0.0, 5.005005, 2), (6.039373, 9.726393, 3)],
+}
+# joint even/odd protocol: class = 2*action_idx + phase (the reference's
+# 12-class MultiActionRepCount labeling, configs/repcount_12_tsm.yaml:37-49,
+# over the three actions the real footage covers)
+JOINT_ACTIONS = {"pull_up": 0, "squat": 1, "exercising_arm": 2}
+
+
+def build_joint_root(root: str) -> str:
+    """RepCount-layout data root over ALL FOUR real videos: videos/test/,
+    annotation.csv with name/class_/split/count/reps.
+
+    stu1_40 keeps its real RepCount rep boundaries; the Countix clips
+    carry only per-span counts, so rep boundaries are uniform divisions
+    of each annotated repetition span (adequate phase supervision for
+    near-constant-rate reps; counts — what eval_count scores — are the
+    real human labels either way)."""
+    import pandas as pd
+
+    from workoutdetector_tpu.data.video import VideoReader
+
+    os.makedirs(osp.join(root, "videos", "test"), exist_ok=True)
+    ref_df = pd.read_csv(REAL_ANNO, index_col=0)
+    rows = []
+    for name, (action, gt) in COUNTIX_GT.items():
+        dst = osp.join(root, "videos", "test", name)
+        if not osp.isfile(dst):
+            shutil.copy(osp.join(EXAMPLES, name), dst)
+        if name == "stu1_40.mp4":
+            row = ref_df[ref_df["name"] == name].iloc[0]
+            reps = [int(x) for x in row["reps"].split()]
+        else:
+            with VideoReader(dst) as r:
+                fps, total = r.fps, r.frame_count
+            reps = []
+            for a, b, k in COUNTIX_SPANS[name]:
+                for i in range(k):
+                    s = int(round((a + (b - a) * i / k) * fps))
+                    e = int(round((a + (b - a) * (i + 1) / k) * fps))
+                    reps += [min(s, total - 1), min(e, total - 1)]
+        rows.append(dict(name=name,
+                         class_=action.replace(" ", "_"),
+                         split="test", count=gt,
+                         reps=" ".join(map(str, reps)),
+                         vid=name.split(".")[0], start=0, end=0))
+    pd.DataFrame(rows).to_csv(osp.join(root, "annotation.csv"))
+    return osp.join(root, "annotation.csv")
+
+
+# Hand-annotated person boxes (x1, y1, x2, y2 pixels) on sampled frames
+# of the real videos — annotated by eye from the extracted frames
+# (tools/real_video_eval.py --mode person regenerates the IoU table).
+# Rough (±15 px): enough to score detector quality at the IoU>0.3 level.
+HAND_BOXES = {
+    ("stu1_40.mp4", 100): (55, 75, 160, 350),
+    ("stu1_40.mp4", 200): (55, 80, 150, 340),
+    ("upVOY01QDpI.mp4", 100): (130, 770, 380, 1220),
+    ("upVOY01QDpI.mp4", 200): (160, 500, 340, 1220),
+    ("U7b4jSjtdFQ.mp4", 80): (450, 0, 790, 720),
+    ("U7b4jSjtdFQ.mp4", 160): (490, 0, 820, 720),
+    ("4-YmQKoHYmw.mp4", 100): (120, 60, 375, 272),
+    ("4-YmQKoHYmw.mp4", 200): (60, 0, 340, 272),
+}
+
+
+def person_eval(detector_steps: int = 300) -> dict:
+    """VERDICT r3 #5: prove (or refute) PersonCrop on REAL footage.
+
+    (a) box quality: the synthetic-trained learned CenterNet backend and
+    the motion backend, scored by IoU against hand-annotated person
+    boxes on 8 real frames (HAND_BOXES above);
+    (b) downstream: counts from the training-free counters on each video
+    with person_crop off / motion-crop / learned-crop, plus each crop's
+    area fraction (the motion backend's documented ~99%-of-frame union
+    is measured here, not assumed).
+    """
+    import numpy as np
+
+    from workoutdetector_tpu.counting import obo_mae
+    from workoutdetector_tpu.data.person import Detector, PersonCrop
+    from workoutdetector_tpu.data.synthetic import iou, person_dataset
+    from workoutdetector_tpu.data.transforms import resize_short_side
+    from workoutdetector_tpu.data.video import VideoReader, write_video
+    from workoutdetector_tpu.infer import count_by_motion_periodicity
+    from workoutdetector_tpu.models.detector import train_detector
+
+    imgs, boxes = person_dataset(64, size=64, seed=0)
+    learned = train_detector(imgs, boxes, steps=detector_steps, lr=2e-3,
+                             batch=8)
+    det_learned = Detector(backend=learned)
+    det_motion = Detector(backend="motion")
+
+    frames_cache = {}
+
+    def get_frames(name):
+        if name not in frames_cache:
+            with VideoReader(osp.join(EXAMPLES, name)) as r:
+                frames_cache[name] = r.read_raw()
+        return frames_cache[name]
+
+    iou_rows = []
+    for (name, idx), hand in HAND_BOXES.items():
+        frames = get_frames(name)
+        lo = max(0, idx - 4)
+        clip = frames[lo:idx + 5]
+        k = idx - lo
+        row = dict(video=name, frame=idx)
+        for label, det in (("learned", det_learned), ("motion", det_motion)):
+            bs = det.detect(clip)[k]
+            row[f"{label}_iou"] = 0.0 if len(bs) == 0 else round(
+                float(iou(np.asarray(hand, np.float32), bs[0])), 3)
+        iou_rows.append(row)
+
+    count_rows = {}
+    for name, (action, gt) in COUNTIX_GT.items():
+        # counters run at short-side 256 (the eval decode scale); crops
+        # apply at that scale, then a temp mp4 feeds the path-based
+        # counters unchanged
+        small = resize_short_side(get_frames(name), 256)
+        row = dict(gt=gt)
+        base, _, _ = count_by_motion_periodicity(osp.join(EXAMPLES, name))
+        row["count_nocrop"] = base
+        for label, det in (("learned", det_learned), ("motion", det_motion)):
+            cropped = PersonCrop(det)(small)
+            row[f"area_frac_{label}"] = round(
+                (cropped.shape[1] * cropped.shape[2]) /
+                (small.shape[1] * small.shape[2]), 3)
+            tmp = osp.join(tempfile.gettempdir(), f"crop_{label}_{name}")
+            write_video(tmp + ".mp4", cropped, fps=24.0)
+            c, _, _ = count_by_motion_periodicity(tmp + ".mp4")
+            row[f"count_crop_{label}"] = c
+        count_rows[name] = row
+
+    def mae_of(key):
+        preds = [r[key] for r in count_rows.values()]
+        gts = [r["gt"] for r in count_rows.values()]
+        return round(obo_mae(preds, gts)[0], 3)
+
+    return dict(mode="person", detector_steps=detector_steps,
+                iou=iou_rows,
+                mean_iou_learned=round(float(np.mean(
+                    [r["learned_iou"] for r in iou_rows])), 3),
+                mean_iou_motion=round(float(np.mean(
+                    [r["motion_iou"] for r in iou_rows])), 3),
+                counts=count_rows,
+                mae_nocrop=mae_of("count_nocrop"),
+                mae_crop_learned=mae_of("count_crop_learned"),
+                mae_crop_motion=mae_of("count_crop_motion"))
+
 
 def similarity_eval() -> dict:
     import jax
@@ -108,8 +264,11 @@ def similarity_eval() -> dict:
                     abs(p - g) <= 1 for p, g in zip(mpreds, gts)))
 
 
-def train_eval(image_size: int, steps: int, train_reps: int,
-               lr: float) -> dict:
+def train_stu1_engine(image_size: int, steps: int, train_reps: int,
+                      lr: float, seed: int = 0):
+    """Train the single-action state classifier on stu1_40's annotated
+    reps (the --mode train recipe) → (engine, info, video_path). Shared
+    by train_eval and resize_ab_eval."""
     import numpy as np
 
     from workoutdetector_tpu.config import Config
@@ -216,14 +375,94 @@ def train_eval(image_size: int, steps: int, train_reps: int,
             np.stack([window_clip(s) for s in hold]).astype(np.uint8))
         ys = np.array([phase[s + 4] for s in hold])
         hold_acc = float((np.argmax(logits[:len(ys)], 1) == ys).mean())
-    count, reps = count_by_video_model(engine, video_dst)
-    return dict(mode="train", train_windows=len(starts),
-                train_reps=train_reps, steps=steps,
+    info = dict(train_windows=len(starts), train_reps=train_reps,
+                steps=steps,
                 final_train_acc=round(last.get("acc", 0.0), 3),
                 holdout_window_acc=None if hold_acc is None
-                else round(hold_acc, 3),
-                pred_count=count, gt_count=8,
+                else round(hold_acc, 3))
+    return engine, info, video_dst
+
+
+def train_eval(image_size: int, steps: int, train_reps: int,
+               lr: float, seed: int = 0) -> dict:
+    from workoutdetector_tpu.infer import count_by_video_model
+
+    engine, info, video_dst = train_stu1_engine(
+        image_size, steps, train_reps, lr, seed=seed)
+    count, reps = count_by_video_model(engine, video_dst)
+    return dict(mode="train", pred_count=count, gt_count=8, **info,
                 pred_rep_starts=reps[::2], gt_rep_starts=GT_REP_STARTS)
+
+
+def resize_ab_eval(image_size: int, steps: int, train_reps: int,
+                   lr: float, seed: int = 0) -> dict:
+    """SURVEY §7 hard-part 1 closed at the COUNT level: sweep the
+    cv2↔PIL resize divergence through a TRAINED engine on the four real
+    videos. The reference's deployed path resized via ToPILImage→Resize
+    (utils/inference_count.py:27-34); ours is cv2 INTER_AREA/LINEAR
+    (data/transforms.resize_clip) with the divergence envelope pinned at
+    the pixel level (tests/test_parallel_extra.py, mean |Δ| < 3). This
+    mode answers what that drift does to LOGITS / ARGMAX / COUNTS:
+    every video's full-res frames are windowed exactly like
+    count_by_video_model (non-overlapping 8-frame chunks) and prepped
+    twice — (a) resize_short_side+center_crop, (b) a PIL-BILINEAR twin
+    of the same geometry — then scored by the stu1_40-trained state
+    classifier; counts come from pred_to_count on each argmax sequence.
+
+    Measured (v5e, 2026-08-20, recorded in STATUS.md): identical counts
+    on all four videos, argmax agreement 1.0, max |Δlogit| ≈ 0.05 on
+    ~7-unit logits — the preprocessing gap is count-invariant on real
+    footage."""
+    import numpy as np
+    from PIL import Image
+
+    from workoutdetector_tpu.counting import pred_to_count
+    from workoutdetector_tpu.data.transforms import (center_crop,
+                                                     resize_short_side)
+    from workoutdetector_tpu.data.video import VideoReader
+
+    engine, info, _ = train_stu1_engine(image_size, steps, train_reps,
+                                        lr, seed=seed)
+    scale = round(image_size * 256 / 224)
+
+    def prep_pil(win: np.ndarray) -> np.ndarray:
+        h, w = win.shape[1:3]
+        if h <= w:
+            th, tw = scale, max(1, round(w * scale / h))
+        else:
+            th, tw = max(1, round(h * scale / w)), scale
+        out = np.stack([
+            np.asarray(Image.fromarray(f).resize((tw, th), Image.BILINEAR))
+            for f in win])
+        return center_crop(out, image_size)
+
+    rows = {}
+    for name in COUNTIX_GT:
+        with VideoReader(osp.join(EXAMPLES, name)) as r:
+            frames = r.read_raw()
+        starts = list(range(0, frames.shape[0] - 7, 8))
+        a = np.stack([center_crop(
+            resize_short_side(frames[s:s + 8], scale), image_size)
+            for s in starts]).astype(np.uint8)
+        b = np.stack([prep_pil(frames[s:s + 8]) for s in starts]
+                     ).astype(np.uint8)
+        del frames
+        la = np.asarray(engine.score_windows(a))[:len(starts)]
+        lb = np.asarray(engine.score_windows(b))[:len(starts)]
+        pa, pb = np.argmax(la, 1), np.argmax(lb, 1)
+        ca, _ = pred_to_count(pa.tolist(), step=8)
+        cb, _ = pred_to_count(pb.tolist(), step=8)
+        rows[name] = dict(
+            windows=len(starts),
+            max_logit_delta=round(float(np.abs(la - lb).max()), 4),
+            mean_logit_delta=round(float(np.abs(la - lb).mean()), 4),
+            logit_scale=round(float(np.abs(la).mean()), 2),
+            argmax_agreement=round(float((pa == pb).mean()), 4),
+            count_cv2=ca, count_pil=cb)
+    return dict(mode="resize-ab", image_size=image_size, **info,
+                videos=rows,
+                counts_equal=all(r["count_cv2"] == r["count_pil"]
+                                 for r in rows.values()))
 
 
 def _stream_count(engine, path: str, rates=(1, 2, 4, 8)) -> dict:
@@ -256,25 +495,14 @@ def _stream_count(engine, path: str, rates=(1, 2, 4, 8)) -> dict:
     return best
 
 
-def repnet_eval(steps: int, image_size: int, lr: float,
-                grid: bool = False, streaming: bool = False,
-                seed: int = 0) -> dict:
-    """Train the RepNet period family on SYNTHETIC clips only, then count
-    the four real example videos (models/repnet.py, zero annotations):
-    the transfer test for the learnable counter. Report per-video counts
-    + raw MAE/OBO (utils/eval.py:11-24 definitions).
-
-    Measured transfer curve (v5e, 2026-08-18): 720 steps is the sweet
-    spot — raw MAE 1.5 (pull-up 8→8 exact with period 38 vs annotated
-    37.3, squat 2→2 exact). 1200 steps reaches train acc 1.0 but MAE
-    degrades to 2.25: the model overfits synthetic-domain texture and
-    loses real-footage calibration. Don't chase train accuracy here."""
+def train_repnet(steps: int, image_size: int, lr: float,
+                 seed: int = 0):
+    """Train the RepNet period family on SYNTHETIC clips only
+    (models/repnet.py, zero annotations) → (engine, last_metrics)."""
     import numpy as np
 
     from workoutdetector_tpu.config import Config
-    from workoutdetector_tpu.counting import obo_mae
     from workoutdetector_tpu.data.datasets import SyntheticPeriodicDataset
-    from workoutdetector_tpu.infer import count_by_repnet
     from workoutdetector_tpu.infer.engine import InferenceEngine
     from workoutdetector_tpu.parallel.mesh import shard_batch
     from workoutdetector_tpu.train.trainer import Trainer
@@ -320,6 +548,25 @@ def repnet_eval(steps: int, image_size: int, lr: float,
         trainer.model,
         {"params": state.params, "batch_stats": state.batch_stats},
         num_segments=t_win, window_batch=4, image_size=image_size)
+    return engine, last
+
+
+def repnet_eval(steps: int, image_size: int, lr: float,
+                grid: bool = False, streaming: bool = False,
+                seed: int = 0) -> dict:
+    """Count the four real example videos with the synthetic-trained
+    RepNet family: the transfer test for the learnable counter. Report
+    per-video counts + raw MAE/OBO (utils/eval.py:11-24 definitions).
+
+    Measured transfer curve (v5e, 2026-08-18): 720 steps is the sweet
+    spot — raw MAE 1.5 (pull-up 8→8 exact with period 38 vs annotated
+    37.3, squat 2→2 exact). 1200 steps reaches train acc 1.0 but MAE
+    degrades to 2.25: the model overfits synthetic-domain texture and
+    loses real-footage calibration. Don't chase train accuracy here."""
+    from workoutdetector_tpu.counting import obo_mae
+    from workoutdetector_tpu.infer import count_by_repnet
+
+    engine, last = train_repnet(steps, image_size, lr, seed=seed)
     preds, gts, rows = [], [], []
     stream_preds = []
     for name, (action, gt) in COUNTIX_GT.items():
@@ -349,9 +596,208 @@ def repnet_eval(steps: int, image_size: int, lr: float,
     return out
 
 
+def joint_eval(image_size: int, steps: int, lr: float, seed: int = 0,
+               families: tuple = ("video", "similarity", "repnet", "motion"),
+               repnet_steps: int = 720) -> dict:
+    """ONE multi-action state checkpoint, all four real videos, all
+    counter families through the SAME eval_dataset protocol.
+
+    Trains a single TSM state classifier over the joint 2k/2k+1 even/odd
+    classes of the three real actions (pull_up + squat + exercising_arm,
+    6 classes — the reference's 12-class MultiActionRepCount protocol,
+    train_rep.py:27-78, restricted to the actions the footage covers),
+    on consecutive 8-frame windows labeled by their center frame's phase
+    (count_by_video_model's deployment geometry). stu1_40 reps 7-8 stay
+    a temporal holdout; the Countix clips (2-5 reps each) train on all
+    reps — with four videos total there is no held-out VIDEO, so the
+    state-family numbers measure multi-action capacity (can one
+    checkpoint carry three actions' even/odd states through the counting
+    protocol simultaneously?), not cross-video generalization; the
+    reference's published MAE 4.01 (utils/eval.py:135) is the latter and
+    stays checkpoint-blocked (zero egress).
+
+    Every family's counts flow through infer.eval_dataset over the same
+    data root (reference eval protocol, utils/eval.py:117-180):
+    'video' = the joint state checkpoint + pred_to_count, 'similarity' =
+    training-free CNN periodicity, 'repnet' = the synthetic-only period
+    family (grid mode), 'motion' = training-free pixel periodicity.
+    """
+    import numpy as np
+
+    from workoutdetector_tpu.config import Config
+    from workoutdetector_tpu.counting import obo_mae
+    from workoutdetector_tpu.data.datasets import read_image
+    from workoutdetector_tpu.data.transforms import (center_crop,
+                                                     resize_short_side)
+    from workoutdetector_tpu.infer.engine import InferenceEngine
+    from workoutdetector_tpu.infer.inference_count import eval_dataset
+    from workoutdetector_tpu.parallel.mesh import shard_batch
+    from workoutdetector_tpu.scripts.extract_frames import extract_tree
+    from workoutdetector_tpu.train.trainer import Trainer
+
+    import pandas as pd
+
+    root = osp.join(tempfile.gettempdir(), "repcount_joint")
+    anno = build_joint_root(root)
+    extract_tree(osp.join(root, "videos"), osp.join(root, "rawframes"))
+    df = pd.read_csv(anno, index_col=0)
+
+    # per-video {frame: joint_class}; stu1_40 holdout = reps 7-8
+    holdout_reps = 2
+    frame_cls: dict = {}
+    holdout_windows = []
+    scale = round(image_size * 256 / 224)
+    for _, row in df.iterrows():
+        name = row["name"]
+        act = JOINT_ACTIONS[row["class_"]]
+        reps = [int(x) for x in str(row["reps"]).split()]
+        cls = {}
+        for s, e in zip(reps[0::2], reps[1::2]):
+            mid = (s + e) // 2
+            for f in range(s, mid):
+                cls[f] = 2 * act
+            for f in range(mid, e):
+                cls[f] = 2 * act + 1
+        if name == "stu1_40.mp4":
+            train_end = reps[2 * (len(reps) // 2 - holdout_reps) - 1]
+            hold = {f: c for f, c in cls.items() if f > train_end}
+            cls = {f: c for f, c in cls.items() if f <= train_end}
+            holdout_windows = [("stu1_40", s, hold[s + 4])
+                               for s in range(train_end + 2, reps[-1] - 8)
+                               if (s + 4) in hold]
+        frame_cls[name.split(".")[0]] = cls
+
+    cache: dict = {}
+
+    def get_frame(vid, i):
+        key = (vid, i)
+        if key not in cache:
+            img = read_image(osp.join(root, "rawframes", "test", vid,
+                                      f"img_{i + 1:05}.jpg"))
+            cache[key] = resize_short_side(img[None], scale)[0]
+        return cache[key]
+
+    def window_clip(vid, start, flip=False):
+        clip = np.stack([get_frame(vid, start + k) for k in range(8)])
+        clip = center_crop(clip, image_size)
+        if flip:
+            clip = clip[:, :, ::-1]
+        return np.ascontiguousarray(clip)
+
+    # training windows per action (balanced sampling across actions so
+    # the squats' 2x frame volume doesn't starve pull_up/arm)
+    by_action: dict = {a: [] for a in range(len(JOINT_ACTIONS))}
+    for vid, cls in frame_cls.items():
+        if not cls:
+            continue
+        act = next(iter(cls.values())) // 2
+        for s in range(min(cls), max(cls) - 8):
+            if (s + 4) in cls:
+                by_action[act].append((vid, s, cls[s + 4]))
+    n_windows = {a: len(w) for a, w in by_action.items()}
+
+    cfg = Config()
+    cfg.model.model_type = "tsm"
+    cfg.model.base_model = "resnet18"
+    cfg.model.num_class = 2 * len(JOINT_ACTIONS)
+    cfg.model.num_segments = 8
+    cfg.model.dropout = 0.3
+    cfg.model.dtype = "float32"
+    cfg.data.image_size = image_size
+    cfg.data.num_segments = 8
+    cfg.optimizer.method = "adamw"
+    cfg.optimizer.lr = lr
+    cfg.optimizer.weight_decay = 1e-4
+    cfg.optimizer.use_tsn_policies = False
+    cfg.seed = seed
+    trainer = Trainer(cfg)
+    state = trainer.init_state(steps_per_epoch=max(steps, 1),
+                               image_size=image_size)
+    step = trainer.train_step_fn()
+    rng = np.random.default_rng(seed)
+    t0, last = time.time(), {}
+    for s in range(steps):
+        acts = rng.integers(0, len(JOINT_ACTIONS), size=16)
+        picks = [by_action[a][rng.integers(len(by_action[a]))] for a in acts]
+        x = np.stack([window_clip(v, st, flip=rng.random() < 0.5)
+                      for v, st, _ in picks]).astype(np.uint8)
+        y = np.array([c for _, _, c in picks], np.int32)
+        bx, by = shard_batch((x, y), trainer.mesh)
+        state, m = step(state, bx, by)
+        if s % 48 == 0 or s == steps - 1:
+            last = {k: float(np.asarray(v)) for k, v in m.items()}
+            print(f"step {s} loss {last['loss']:.3f} acc {last['acc']:.2f} "
+                  f"t={time.time() - t0:.0f}s", file=sys.stderr, flush=True)
+
+    engine = InferenceEngine(
+        trainer.model,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        num_segments=8, window_batch=8, image_size=image_size)
+
+    hold_acc = None
+    if holdout_windows:
+        logits = engine.score_windows(np.stack(
+            [window_clip(v, s) for v, s, _ in holdout_windows]
+        ).astype(np.uint8))
+        ys = np.array([c for _, _, c in holdout_windows])
+        hold_acc = float((np.argmax(logits[:len(ys)], 1) == ys).mean())
+
+    # every family through the SAME eval_dataset protocol over this root
+    gts = {row["name"]: int(row["count"]) for _, row in df.iterrows()}
+    out_dir = osp.join(root, "eval_out")
+    fam_rows = {}
+    for family in families:
+        counts_json = osp.join(out_dir, f"counts_{family}.json")
+        os.makedirs(out_dir, exist_ok=True)
+        if family == "video":
+            fam_engine = engine
+        elif family == "similarity":
+            import jax
+            import jax.numpy as jnp
+            from workoutdetector_tpu.models.resnet import resnet18
+            net = resnet18(num_classes=0, dtype=jnp.float32)
+            variables = net.init({"params": jax.random.PRNGKey(0)},
+                                 jnp.zeros((1, 64, 64, 3)), train=False)
+            fam_engine = InferenceEngine(net, dict(variables), image_size=64,
+                                         input_rank=4, window_batch=64)
+        elif family == "repnet":
+            fam_engine, _ = train_repnet(repnet_steps, 64, 3e-4, seed=seed)
+        else:  # motion — engine-free
+            fam_engine = None
+        # explicit class list: 'all' expands to the helper's cleaned
+        # 6-action RepCount list, which excludes exercising_arm
+        joint_classes = sorted(df["class_"].unique().tolist())
+        mae, obo = eval_dataset(fam_engine, action=joint_classes,
+                                split="test",
+                                data_root=root, model_type=family,
+                                output_dir=out_dir,
+                                grid=(family == "repnet"),
+                                counts_out=counts_json)
+        with open(counts_json) as f:
+            counts = json.load(f)
+        preds = [counts[n] for n in gts]
+        raw_mae, obo_exact1 = obo_mae(preds, list(gts.values()))
+        fam_rows[family] = dict(
+            per_video={n: counts[n] for n in gts},
+            norm_mae=round(mae, 4), obo_within1=round(obo, 4),
+            raw_mae=round(raw_mae, 4), obo_exact1=round(obo_exact1, 4),
+            within_one=sum(abs(p - g) <= 1
+                           for p, g in zip(preds, gts.values())))
+    return dict(mode="joint", steps=steps, seed=seed,
+                num_class=2 * len(JOINT_ACTIONS),
+                windows_per_action=n_windows,
+                final_train_acc=round(last.get("acc", 0.0), 3),
+                holdout_window_acc=None if hold_acc is None
+                else round(hold_acc, 3),
+                gt={n: g for n, g in gts.items()},
+                families=fam_rows)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    parser.add_argument("--mode", choices=("similarity", "train", "repnet"),
+    parser.add_argument("--mode",
+                        choices=("similarity", "train", "repnet", "joint",
+                                 "resize-ab", "person"),
                         default="similarity")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--image-size", type=int, default=None,
@@ -373,6 +819,9 @@ def main() -> None:
                         help="repnet: additionally count each video "
                              "through the ONLINE StreamingPeriodicCounter "
                              "(the live WS mode) and report its MAE")
+    parser.add_argument("--families", default="video,similarity,repnet,motion",
+                        help="joint: comma list of counter families to "
+                             "run through eval_dataset")
     args = parser.parse_args()
     if not osp.isdir(EXAMPLES):
         print(json.dumps({"error": "reference example videos not mounted"}))
@@ -384,13 +833,22 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     if args.mode == "similarity":
         res = similarity_eval()
+    elif args.mode == "person":
+        res = person_eval()
+    elif args.mode == "resize-ab":
+        res = resize_ab_eval(args.image_size or 112, args.steps or 480,
+                             args.train_reps, args.lr, seed=args.seed)
+    elif args.mode == "joint":
+        res = joint_eval(args.image_size or 112, args.steps or 600,
+                         args.lr, seed=args.seed,
+                         families=tuple(args.families.split(",")))
     elif args.mode == "repnet":
         res = repnet_eval(args.steps or 720, args.image_size or 64,
                           args.lr, grid=args.grid,
                           streaming=args.streaming, seed=args.seed)
     else:
         res = train_eval(args.image_size or 112, args.steps or 480,
-                         args.train_reps, args.lr)
+                         args.train_reps, args.lr, seed=args.seed)
     print(json.dumps(res))
 
 
