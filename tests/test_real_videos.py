@@ -184,3 +184,38 @@ def test_similarity_eval_dataset_real_annotation(feature_engine, tmp_path):
     assert out_csv.is_file()
     row = pd.read_csv(out_csv).iloc[0]
     assert row["video_name"] == "stu1_40.mp4" and int(row["count"]) == 8
+
+
+def test_joint_root_builder(tmp_path):
+    """build_joint_root (tools/real_video_eval.py --mode joint): a
+    RepCount-layout root over ALL FOUR real videos — stu1_40 keeps its
+    real rep boundaries, the Countix clips get uniform divisions of
+    their annotated repetition spans; RepcountHelper loads every row
+    with the right counts."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "real_video_eval",
+        osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                 "tools", "real_video_eval.py"))
+    rve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rve)
+
+    from workoutdetector_tpu.data.repcount import RepcountHelper
+
+    root = str(tmp_path / "joint")
+    anno = rve.build_joint_root(root)
+    helper = RepcountHelper(root, anno)
+    data = helper.get_rep_data(split=["test"],
+                               action=["pull_up", "squat",
+                                       "exercising_arm"])
+    assert len(data) == 4
+    gts = {n: gt for n, (_, gt) in rve.COUNTIX_GT.items()}
+    for name, item in data.items():
+        assert item.count == gts[name], name
+        assert len(item.reps) == 2 * item.count, name
+        # boundaries ordered and within the clip
+        assert all(a <= b for a, b in zip(item.reps, item.reps[1:])) or \
+            all(item.reps[2 * i] < item.reps[2 * i + 1]
+                for i in range(item.count)), item.reps
+        assert item.video_path.endswith(name)
+        assert os.path.isfile(item.video_path)

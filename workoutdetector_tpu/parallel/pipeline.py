@@ -23,9 +23,12 @@ Constraints (by construction of the stacked formulation):
     the 'data' axis still shards each microbatch (dp composes with pp).
 
 :func:`pipeline_apply_het` lifts the same-shape constraint so CONV
-models (TSM/TDN/TPN ResNet stages, whose activation shapes halve
-spatially and double in channels per stage) can pipeline too — see its
-docstring for the flat-buffer + ``lax.switch`` formulation.
+models (ResNet stages, whose activation shapes halve spatially and
+double in channels per stage) can pipeline too — demonstrated on
+TSM/ResNet via their segment-ranged forwards (models/tsm.py seg_lo/
+seg_hi); TDN/TPN stacks fit the same mechanism once given their own
+segment splits. See its docstring for the flat-buffer + ``lax.switch``
+formulation.
 """
 
 from __future__ import annotations
