@@ -331,3 +331,38 @@ def test_het_pipeline_seg_api_composition():
     staged = np.asarray(model.apply(variables, mid, train=False,
                                     seg_lo=3, seg_hi=6))
     np.testing.assert_array_equal(staged, full)
+
+
+def test_het_pipeline_tdn_stages():
+    """TDN pipelines too (its own segment splits: stems+fusions+layer1
+    in segment 0, layer2-4, head): staged apply composes bit-exact and
+    the 2-stage het pipeline equals the one-shot forward."""
+    from workoutdetector_tpu.models.tdn import TDN
+    from workoutdetector_tpu.parallel.pipeline import pipeline_apply_het
+
+    mesh = create_mesh(devices=jax.devices()[:8], data=4, model=2)
+    model = TDN(num_class=4, num_segments=4, base_model="resnet50",
+                dropout=0.0, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(5).normal(
+        size=(8, 4, 5, 32, 32, 3)).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(11)}, x[:1],
+                           train=False)
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    full = np.asarray(model.apply(variables, x, train=False))
+
+    # seg-API composition pins the contract bit-for-bit
+    mid = model.apply(variables, x, train=False, seg_lo=0, seg_hi=2)
+    staged = np.asarray(model.apply(variables, mid, train=False,
+                                    seg_lo=2, seg_hi=5))
+    np.testing.assert_array_equal(staged, full)
+
+    def stage(lo, hi):
+        def fn(p, act):
+            return model.apply({"params": p, "batch_stats": bstats},
+                               act, train=False, seg_lo=lo, seg_hi=hi)
+        return fn
+
+    out = np.asarray(jax.jit(lambda p, v: pipeline_apply_het(
+        [stage(0, 2), stage(2, 5)], p, v, mesh, microbatches=2))(params, x))
+    np.testing.assert_allclose(out, full, rtol=1e-5, atol=1e-5)

@@ -246,15 +246,30 @@ class TDN(nn.Module):
     partial_bn: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        if x.ndim == 5:
-            # dataset-pipeline layout (B, T*5, H, W, C) — the shape
-            # TDNDataset batches yield (reference tdn_dataset.py returns
-            # (T*5, C, H, W) stacks); unflatten the burst axis
-            bb, td, hh, ww, cc = x.shape
-            x = x.reshape(bb, td // self.num_frames, self.num_frames, hh, ww, cc)
-        b, t, d, h, w, c = x.shape
-        assert d == self.num_frames == 5, "TDN uses 5-frame bursts"
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 seg_lo: int = 0, seg_hi: int = 5) -> jnp.ndarray:
+        """seg_lo/seg_hi run a static SEGMENT RANGE for pipeline-parallel
+        stage functions (parallel/pipeline.pipeline_apply_het): segment 0
+        = both stems + layer1 + the two diff fusions (the part with
+        cross-path structure), segments 1-3 = layer2-4, segment 4 = head
+        (pool + dropout + new_fc + consensus). Boundary activations are
+        exchanged CLIP-major (B, T, h, w, c), as in models/tsm.py."""
+        assert 0 <= seg_lo < seg_hi <= 5, (seg_lo, seg_hi)
+        t = self.num_segments
+        if seg_lo == 0:
+            if x.ndim == 5:
+                # dataset-pipeline layout (B, T*5, H, W, C) — the shape
+                # TDNDataset batches yield (reference tdn_dataset.py
+                # returns (T*5, C, H, W) stacks); unflatten the burst axis
+                bb, td, hh, ww, cc = x.shape
+                x = x.reshape(bb, td // self.num_frames, self.num_frames,
+                              hh, ww, cc)
+            b, t, d, h, w, c = x.shape
+            assert d == self.num_frames == 5, "TDN uses 5-frame bursts"
+        else:
+            b_in, t_in = x.shape[:2]
+            assert t_in == t, f"boundary expects T={t}, got {t_in}"
+            y = x.reshape(b_in * t_in, *x.shape[2:]).astype(self.dtype)
         alpha = self.alpha if self.alpha is not None else (0.5 if t == 8 else 0.75)
         beta = self.beta if self.beta is not None else (0.5 if t == 8 else 0.25)
         stages = TDN_STAGES[self.base_model]
@@ -267,52 +282,54 @@ class TDN(nn.Module):
                          use_running_average=(not train) or frozen,
                          momentum=0.9, epsilon=1e-5, dtype=self.dtype)
 
-        x = x.reshape(b * t, d, h, w, c).astype(self.dtype)
-        frames = [x[:, i] for i in range(5)]  # 5 × (B*T, H, W, C)
-        diffs = jnp.concatenate(
-            [frames[i + 1] - frames[i] for i in range(4)], axis=-1)  # (B*T, H, W, 12)
+        if seg_lo == 0:
+            x = x.reshape(b * t, d, h, w, c).astype(self.dtype)
+            frames = [x[:, i] for i in range(5)]  # 5 × (B*T, H, W, C)
+            diffs = jnp.concatenate(
+                [frames[i + 1] - frames[i] for i in range(4)], axis=-1)  # (B*T, H, W, 12)
 
-        # diff path (reference tdn.py:150-156)
-        xd = nn.avg_pool(diffs, (2, 2), strides=(2, 2))
-        xd = nn.Conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
-                     dtype=self.dtype, name="conv1_5")(xd)
-        xd = norm_f(name="bn1_5")(xd)
-        xd = nn.relu(xd)
-        xd = nn.max_pool(xd, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
-        temp_out_diff1 = xd
-        xd = _stage(xd, name="resnext_layer1", filters=64, blocks=stages[0],
-                    n_segment=t, strides=1, with_shift=False, dtype=self.dtype,
-                    train=train, frozen_bn=frozen)
+            # diff path (reference tdn.py:150-156)
+            xd = nn.avg_pool(diffs, (2, 2), strides=(2, 2))
+            xd = nn.Conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], use_bias=False,
+                         dtype=self.dtype, name="conv1_5")(xd)
+            xd = norm_f(name="bn1_5")(xd)
+            xd = nn.relu(xd)
+            xd = nn.max_pool(xd, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+            temp_out_diff1 = xd
+            xd = _stage(xd, name="resnext_layer1", filters=64, blocks=stages[0],
+                        n_segment=t, strides=1, with_shift=False, dtype=self.dtype,
+                        train=train, frozen_bn=frozen)
 
-        # RGB path on center frame (reference tdn.py:157-167)
-        y = nn.Conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], use_bias=True,
-                    dtype=self.dtype, name="conv1")(frames[2])
-        y = norm(name="bn1")(y)
-        y = nn.relu(y)
-        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
-        up1 = _nearest_resize(temp_out_diff1, y.shape)
-        y = alpha * y + beta * up1
-        y = _stage(y, name="layer1", filters=64, blocks=stages[0], n_segment=t,
-                   strides=1, with_shift=False, dtype=self.dtype, train=train,
-                   frozen_bn=frozen)
-        up2 = _nearest_resize(xd, y.shape)
-        y = alpha * y + beta * up2
-        y = _stage(y, name="layer2", filters=128, blocks=stages[1], n_segment=t,
-                   strides=2, with_shift=True, dtype=self.dtype, train=train,
-                   frozen_bn=frozen)
-        y = _stage(y, name="layer3", filters=256, blocks=stages[2], n_segment=t,
-                   strides=2, with_shift=True, dtype=self.dtype, train=train,
-                   frozen_bn=frozen)
-        y = _stage(y, name="layer4", filters=512, blocks=stages[3], n_segment=t,
-                   strides=2, with_shift=True, dtype=self.dtype, train=train,
-                   frozen_bn=frozen)
+            # RGB path on center frame (reference tdn.py:157-167)
+            y = nn.Conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], use_bias=True,
+                        dtype=self.dtype, name="conv1")(frames[2])
+            y = norm(name="bn1")(y)
+            y = nn.relu(y)
+            y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+            up1 = _nearest_resize(temp_out_diff1, y.shape)
+            y = alpha * y + beta * up1
+            y = _stage(y, name="layer1", filters=64, blocks=stages[0], n_segment=t,
+                       strides=1, with_shift=False, dtype=self.dtype, train=train,
+                       frozen_bn=frozen)
+            up2 = _nearest_resize(xd, y.shape)
+            y = alpha * y + beta * up2
+        for seg, (nm, flt, blk) in enumerate(
+                [("layer2", 128, stages[1]), ("layer3", 256, stages[2]),
+                 ("layer4", 512, stages[3])], start=1):
+            if seg_lo <= seg < seg_hi:
+                y = _stage(y, name=nm, filters=flt, blocks=blk, n_segment=t,
+                           strides=2, with_shift=True, dtype=self.dtype,
+                           train=train, frozen_bn=frozen)
+        if seg_hi < 5:
+            # boundary activation for the next pipeline stage, clip-major
+            return y.reshape(-1, t, *y.shape[1:])
 
         feat = jnp.mean(y, axis=(1, 2))  # (B*T, 2048)
         feat = nn.Dropout(self.dropout, deterministic=not train)(feat)
         logits = nn.Dense(self.num_class, dtype=self.dtype,
                           kernel_init=nn.initializers.normal(0.01),
                           bias_init=nn.initializers.zeros, name="new_fc")(feat)
-        logits = logits.reshape(b, t, self.num_class)
+        logits = logits.reshape(-1, t, self.num_class)
         if self.consensus_type == "avg":
             logits = jnp.mean(logits.astype(jnp.float32), axis=1)
         else:
