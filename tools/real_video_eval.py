@@ -395,7 +395,8 @@ def train_eval(image_size: int, steps: int, train_reps: int,
 
 
 def resize_ab_eval(image_size: int, steps: int, train_reps: int,
-                   lr: float, seed: int = 0) -> dict:
+                   lr: float, seed: int = 0,
+                   source: str = "joint") -> dict:
     """SURVEY §7 hard-part 1 closed at the COUNT level: sweep the
     cv2↔PIL resize divergence through a TRAINED engine on the four real
     videos. The reference's deployed path resized via ToPILImage→Resize
@@ -406,13 +407,27 @@ def resize_ab_eval(image_size: int, steps: int, train_reps: int,
     every video's full-res frames are windowed exactly like
     count_by_video_model (non-overlapping 8-frame chunks) and prepped
     twice — (a) resize_short_side+center_crop, (b) a PIL-BILINEAR twin
-    of the same geometry — then scored by the stu1_40-trained state
-    classifier; counts come from pred_to_count on each argmax sequence.
+    of the same geometry — then scored by the trained state classifier;
+    counts come from pred_to_count on each argmax sequence.
 
-    Measured (v5e, 2026-08-20, recorded in STATUS.md): identical counts
-    on all four videos, argmax agreement 1.0, max |Δlogit| ≈ 0.05 on
-    ~7-unit logits — the preprocessing gap is count-invariant on real
-    footage."""
+    ``source`` picks the engine: 'joint' (default) = the multi-action
+    6-class checkpoint of :func:`train_joint_engine` (in-domain margins
+    on all four videos — the deployment-like regime); 'stu1' = the
+    stu1_40-only binary model (in-domain on one video — the other three
+    probe the near-zero-margin regime).
+
+    Measured (v5e, 2026-08-20, full tables in STATUS.md round 4): the
+    sensitivity is MARGIN-dependent, not a fixed envelope. Through the
+    joint multi-action checkpoint (in-domain margins of 5.8-11.4 mean
+    |logit| on every video) the drift changed ZERO counts across all
+    four videos — 146 windows, ONE argmax flip (agreement 1.0 / 0.973 /
+    1.0 / 1.0), max |Δlogit| 0.47. But where scores sit near the
+    decision boundary the same pixel drift flips windows and counts
+    (source='stu1': the binary model scoring an out-of-domain squat has
+    mean |logit| 0.95, agreement 0.76, count 8→3) — quantifying WHY
+    bit-matched preprocessing matters for parity work even when mean
+    |Δpixel| < 3 looks small, and why it is count-safe for a deployed
+    in-domain model."""
     import numpy as np
     from PIL import Image
 
@@ -421,8 +436,12 @@ def resize_ab_eval(image_size: int, steps: int, train_reps: int,
                                                      resize_short_side)
     from workoutdetector_tpu.data.video import VideoReader
 
-    engine, info, _ = train_stu1_engine(image_size, steps, train_reps,
-                                        lr, seed=seed)
+    if source == "joint":
+        engine, info, _, _ = train_joint_engine(image_size, steps, lr,
+                                                seed=seed)
+    else:
+        engine, info, _ = train_stu1_engine(image_size, steps, train_reps,
+                                            lr, seed=seed)
     scale = round(image_size * 256 / 224)
 
     def prep_pil(win: np.ndarray) -> np.ndarray:
@@ -459,8 +478,8 @@ def resize_ab_eval(image_size: int, steps: int, train_reps: int,
             logit_scale=round(float(np.abs(la).mean()), 2),
             argmax_agreement=round(float((pa == pb).mean()), 4),
             count_cv2=ca, count_pil=cb)
-    return dict(mode="resize-ab", image_size=image_size, **info,
-                videos=rows,
+    return dict(mode="resize-ab", source=source, image_size=image_size,
+                **info, videos=rows,
                 counts_equal=all(r["count_cv2"] == r["count_pil"]
                                  for r in rows.values()))
 
@@ -596,41 +615,25 @@ def repnet_eval(steps: int, image_size: int, lr: float,
     return out
 
 
-def joint_eval(image_size: int, steps: int, lr: float, seed: int = 0,
-               families: tuple = ("video", "similarity", "repnet", "motion"),
-               repnet_steps: int = 720) -> dict:
-    """ONE multi-action state checkpoint, all four real videos, all
-    counter families through the SAME eval_dataset protocol.
+def train_joint_engine(image_size: int, steps: int, lr: float,
+                       seed: int = 0):
+    """Train the ONE multi-action state checkpoint over all four real
+    videos (the joint 2k/2k+1 even/odd classes of pull_up + squat +
+    exercising_arm — the reference's 12-class MultiActionRepCount
+    protocol, train_rep.py:27-78, restricted to the actions the footage
+    covers) on consecutive 8-frame windows labeled by their center
+    frame's phase. stu1_40 reps 7-8 stay a temporal holdout.
 
-    Trains a single TSM state classifier over the joint 2k/2k+1 even/odd
-    classes of the three real actions (pull_up + squat + exercising_arm,
-    6 classes — the reference's 12-class MultiActionRepCount protocol,
-    train_rep.py:27-78, restricted to the actions the footage covers),
-    on consecutive 8-frame windows labeled by their center frame's phase
-    (count_by_video_model's deployment geometry). stu1_40 reps 7-8 stay
-    a temporal holdout; the Countix clips (2-5 reps each) train on all
-    reps — with four videos total there is no held-out VIDEO, so the
-    state-family numbers measure multi-action capacity (can one
-    checkpoint carry three actions' even/odd states through the counting
-    protocol simultaneously?), not cross-video generalization; the
-    reference's published MAE 4.01 (utils/eval.py:135) is the latter and
-    stays checkpoint-blocked (zero egress).
-
-    Every family's counts flow through infer.eval_dataset over the same
-    data root (reference eval protocol, utils/eval.py:117-180):
-    'video' = the joint state checkpoint + pred_to_count, 'similarity' =
-    training-free CNN periodicity, 'repnet' = the synthetic-only period
-    family (grid mode), 'motion' = training-free pixel periodicity.
-    """
+    Returns (engine, info, root, df): the InferenceEngine over the
+    trained 6-class TSM-R18, a metrics dict (train/holdout acc, window
+    counts), the RepCount-layout data root, and its annotation frame."""
     import numpy as np
 
     from workoutdetector_tpu.config import Config
-    from workoutdetector_tpu.counting import obo_mae
     from workoutdetector_tpu.data.datasets import read_image
     from workoutdetector_tpu.data.transforms import (center_crop,
                                                      resize_short_side)
     from workoutdetector_tpu.infer.engine import InferenceEngine
-    from workoutdetector_tpu.infer.inference_count import eval_dataset
     from workoutdetector_tpu.parallel.mesh import shard_batch
     from workoutdetector_tpu.scripts.extract_frames import extract_tree
     from workoutdetector_tpu.train.trainer import Trainer
@@ -742,6 +745,42 @@ def joint_eval(image_size: int, steps: int, lr: float, seed: int = 0,
         ys = np.array([c for _, _, c in holdout_windows])
         hold_acc = float((np.argmax(logits[:len(ys)], 1) == ys).mean())
 
+    info = dict(steps=steps, seed=seed,
+                num_class=2 * len(JOINT_ACTIONS),
+                windows_per_action=n_windows,
+                final_train_acc=round(last.get("acc", 0.0), 3),
+                holdout_window_acc=None if hold_acc is None
+                else round(hold_acc, 3))
+    return engine, info, root, df
+
+
+def joint_eval(image_size: int, steps: int, lr: float, seed: int = 0,
+               families: tuple = ("video", "similarity", "repnet", "motion"),
+               repnet_steps: int = 720) -> dict:
+    """ONE multi-action state checkpoint, all four real videos, all
+    counter families through the SAME eval_dataset protocol.
+
+    Training: :func:`train_joint_engine`. With four videos total there
+    is no held-out VIDEO, so the state-family numbers measure
+    multi-action capacity (can one checkpoint carry three actions'
+    even/odd states through the counting protocol simultaneously?), not
+    cross-video generalization; the reference's published MAE 4.01
+    (utils/eval.py:135) is the latter and stays checkpoint-blocked
+    (zero egress).
+
+    Every family's counts flow through infer.eval_dataset over the same
+    data root (reference eval protocol, utils/eval.py:117-180):
+    'video' = the joint state checkpoint + pred_to_count, 'similarity' =
+    training-free CNN periodicity, 'repnet' = the synthetic-only period
+    family (grid mode), 'motion' = training-free pixel periodicity.
+    """
+    from workoutdetector_tpu.counting import obo_mae
+    from workoutdetector_tpu.infer.engine import InferenceEngine
+    from workoutdetector_tpu.infer.inference_count import eval_dataset
+
+    engine, info, root, df = train_joint_engine(image_size, steps, lr,
+                                                seed=seed)
+
     # every family through the SAME eval_dataset protocol over this root
     gts = {row["name"]: int(row["count"]) for _, row in df.iterrows()}
     out_dir = osp.join(root, "eval_out")
@@ -783,12 +822,7 @@ def joint_eval(image_size: int, steps: int, lr: float, seed: int = 0,
             raw_mae=round(raw_mae, 4), obo_exact1=round(obo_exact1, 4),
             within_one=sum(abs(p - g) <= 1
                            for p, g in zip(preds, gts.values())))
-    return dict(mode="joint", steps=steps, seed=seed,
-                num_class=2 * len(JOINT_ACTIONS),
-                windows_per_action=n_windows,
-                final_train_acc=round(last.get("acc", 0.0), 3),
-                holdout_window_acc=None if hold_acc is None
-                else round(hold_acc, 3),
+    return dict(mode="joint", **info,
                 gt={n: g for n, g in gts.items()},
                 families=fam_rows)
 
@@ -822,6 +856,13 @@ def main() -> None:
     parser.add_argument("--families", default="video,similarity,repnet,motion",
                         help="joint: comma list of counter families to "
                              "run through eval_dataset")
+    parser.add_argument("--source", choices=("joint", "stu1"),
+                        default="joint",
+                        help="resize-ab: which trained engine scores the "
+                             "A/B — the multi-action joint checkpoint "
+                             "(in-domain on all four videos) or the "
+                             "stu1-only binary one (probes the near-zero-"
+                             "margin regime on the other three)")
     args = parser.parse_args()
     if not osp.isdir(EXAMPLES):
         print(json.dumps({"error": "reference example videos not mounted"}))
@@ -836,8 +877,12 @@ def main() -> None:
     elif args.mode == "person":
         res = person_eval()
     elif args.mode == "resize-ab":
-        res = resize_ab_eval(args.image_size or 112, args.steps or 480,
-                             args.train_reps, args.lr, seed=args.seed)
+        # joint default 450 steps = the measured overfit knee of the
+        # joint campaign; stu1 keeps train mode's 480
+        res = resize_ab_eval(
+            args.image_size or 112,
+            args.steps or (450 if args.source == "joint" else 480),
+            args.train_reps, args.lr, seed=args.seed, source=args.source)
     elif args.mode == "joint":
         res = joint_eval(args.image_size or 112, args.steps or 600,
                          args.lr, seed=args.seed,
