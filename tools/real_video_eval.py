@@ -840,7 +840,11 @@ def main() -> None:
                         help="default: 480 (train mode) / 720 (repnet — "
                              "the measured transfer sweet spot; more "
                              "overfits synthetic texture)")
-    parser.add_argument("--train-reps", type=int, default=6)
+    parser.add_argument("--train-reps", type=int, default=None,
+                        help="stu1 training only (train mode and "
+                             "resize-ab --source stu1); ignored by the "
+                             "joint engine, which always trains on every "
+                             "annotated rep. Default 6.")
     parser.add_argument("--lr", type=float, default=3e-4)
     parser.add_argument("--grid", action="store_true",
                         help="repnet: also score quadrant views "
@@ -879,12 +883,19 @@ def main() -> None:
     elif args.mode == "resize-ab":
         # joint default 450 steps = the measured overfit knee of the
         # joint campaign; stu1 keeps train mode's 480
+        if args.train_reps is not None and args.source == "joint":
+            print("warning: --train-reps only applies to --source stu1; "
+                  "the joint engine trains on every annotated rep",
+                  file=sys.stderr)
         res = resize_ab_eval(
             args.image_size or 112,
             args.steps or (450 if args.source == "joint" else 480),
-            args.train_reps, args.lr, seed=args.seed, source=args.source)
+            args.train_reps or 6, args.lr, seed=args.seed,
+            source=args.source)
     elif args.mode == "joint":
-        res = joint_eval(args.image_size or 112, args.steps or 600,
+        # 450 = the measured overfit knee (600 degraded within-one from
+        # 3/4 to 2/4; STATUS round-4 joint campaign)
+        res = joint_eval(args.image_size or 112, args.steps or 450,
                          args.lr, seed=args.seed,
                          families=tuple(args.families.split(",")))
     elif args.mode == "repnet":
@@ -893,7 +904,7 @@ def main() -> None:
                           streaming=args.streaming, seed=args.seed)
     else:
         res = train_eval(args.image_size or 112, args.steps or 480,
-                         args.train_reps, args.lr, seed=args.seed)
+                         args.train_reps or 6, args.lr, seed=args.seed)
     print(json.dumps(res))
 
 

@@ -312,6 +312,58 @@ def _shard_items(items: List, shard: Tuple[int, int]) -> List:
     return sorted(items, key=lambda it: it.video_name)[i::n]
 
 
+def _failures_path(out_dir: str, shard: Tuple[int, int]) -> str:
+    """Per-shard failure manifest path: shards share ``out_dir``, so each
+    writes its own file. Manifests live under a ``failures/`` subdir so
+    the score directory itself stays a pure ``*.score.json`` namespace —
+    the reference's executing eval main globs every ``.json`` in it
+    (utils/eval.py:117-180) and must keep reading our output unchanged."""
+    i, n = shard
+    return osp.join(out_dir, "failures", f"shard_{i}of{n}.json")
+
+
+def _atomic_json_dump(obj, path: str) -> None:
+    """Write JSON durably-visible-or-absent: a kill -9 mid-write must
+    never leave a truncated file that a resumed shard would trust
+    (the reference's save_scores_to_json writes in place AND hard-asserts
+    on existing output, utils/inference_count.py:61 — both fixed here)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+class _SweepFailures:
+    """Incremental per-shard failure manifest for dataset sweeps.
+
+    Entries persist across restarts: a video that failed in a previous
+    run keeps its record until a later run scores it successfully (the
+    retry path — files do rot AND get fixed between runs). Flushed
+    atomically after every change so a preempted shard leaves an exact
+    record of what it could not score."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.failed: Dict[str, Dict[str, str]] = {}
+        if osp.isfile(path):
+            try:
+                with open(path) as f:
+                    self.failed = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                self.failed = {}
+
+    def record(self, name: str, stage: str, exc: BaseException) -> None:
+        self.failed[name] = {"stage": stage,
+                             "error": f"{type(exc).__name__}: {exc}"}
+        os.makedirs(osp.dirname(self.path), exist_ok=True)
+        _atomic_json_dump(self.failed, self.path)
+
+    def clear(self, name: str) -> None:
+        if name in self.failed:
+            del self.failed[name]
+            _atomic_json_dump(self.failed, self.path)
+
+
 def inference_dataset(engine: InferenceEngine,
                       splits: List[str],
                       out_dir: str,
@@ -322,7 +374,9 @@ def inference_dataset(engine: InferenceEngine,
                       stride: int = 2,
                       decode_workers: int = 2,
                       shard: Tuple[int, int] = (0, 1),
-                      chunk_frames: Optional[int] = None) -> None:
+                      chunk_frames: Optional[int] = None,
+                      skip_existing: bool = False,
+                      on_error: str = "raise") -> Dict[str, object]:
     """Score every RepCount video → per-video ``.score.json``.
 
     JSON schema matches reference inference_dataset (:351-421):
@@ -341,7 +395,28 @@ def inference_dataset(engine: InferenceEngine,
     span instead of the whole video (the reference decodes entire videos
     to RAM, :391; a 30-min 224² source is ~4 GB of uint8). Dataset-scale
     sweeps should set it.
+
+    Fault tolerance (beyond the reference, whose sweep loop dies on the
+    first bad video at :399 and hard-asserts on existing output at :61):
+
+    * ``skip_existing=True`` resumes a preempted shard — videos whose
+      ``.score.json`` already parses are skipped, so a kill -9'd worker
+      rerun with the same command line completes exactly the remaining
+      work (score JSONs are written atomically, tmp + os.replace, so a
+      partial file can never be mistaken for a finished one).
+    * ``on_error='skip'`` survives corrupt/unreadable videos: the
+      failure is recorded in a per-shard manifest under
+      ``out_dir/failures/`` (stage + exception), the sweep continues, and the
+      returned summary reports scored/skipped/failed names. A later
+      resumed run retries failed videos and clears entries that now
+      succeed. ``on_error='raise'`` (default) keeps strict semantics.
+
+    Returns:
+        summary dict: ``{"scored": [...], "skipped": [...],
+        "failed": {name: {stage, error}}}`` for this shard's slice.
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip': {on_error!r}")
     os.makedirs(out_dir, exist_ok=True)
     if data_root is None:
         data_root = osp.expanduser("~/data/RepCount/")
@@ -352,8 +427,39 @@ def inference_dataset(engine: InferenceEngine,
 
     device_gather = engine.supports_device_gather
     items = _shard_items(list(data.values()), shard)
+    failures = _SweepFailures(_failures_path(out_dir, shard))
+    summary: Dict[str, object] = {"scored": [], "skipped": [],
+                                  "failed": failures.failed}
+
+    if skip_existing:
+        remaining = []
+        for item in items:
+            path = osp.join(out_dir, f"{item.video_name}.score.json")
+            done = False
+            if osp.isfile(path):
+                try:  # pre-atomic-write files could be truncated
+                    with open(path) as f:
+                        json.load(f)
+                    done = True
+                except (json.JSONDecodeError, OSError):
+                    done = False
+            if done:
+                summary["skipped"].append(item.video_name)
+                failures.clear(item.video_name)
+            else:
+                remaining.append(item)
+        items = remaining
     if not items:
-        return
+        return summary
+
+    def finish(item) -> None:
+        summary["scored"].append(item.video_name)
+        failures.clear(item.video_name)
+
+    def fail(item, stage: str, exc: BaseException) -> None:
+        if on_error == "raise":
+            raise exc
+        failures.record(item.video_name, stage, exc)
 
     if chunk_frames is not None:
         # bounded-memory path: decode+score interleave per video, so the
@@ -361,12 +467,17 @@ def inference_dataset(engine: InferenceEngine,
         # threads) would defeat the bound — stream serially instead
         from workoutdetector_tpu.infer.engine import score_video_chunked
         for item in items:
-            n_frames, starts, logits = score_video_chunked(
-                engine, item.video_path, step=step, stride=stride,
-                chunk_frames=chunk_frames)
-            _write_score_json(engine, item, n_frames, starts, logits,
-                              checkpoint, out_dir)
-        return
+            try:
+                n_frames, starts, logits = score_video_chunked(
+                    engine, item.video_path, step=step, stride=stride,
+                    chunk_frames=chunk_frames)
+                _write_score_json(engine, item, n_frames, starts, logits,
+                                  checkpoint, out_dir)
+            except Exception as e:
+                fail(item, "score", e)
+            else:
+                finish(item)
+        return summary
 
     def decode(it):
         with VideoReader(it.video_path) as r:
@@ -386,17 +497,31 @@ def inference_dataset(engine: InferenceEngine,
     with ThreadPoolExecutor(workers) as pool:
         futures = [pool.submit(decode, it) for it in items[:workers]]
         for k, item in enumerate(items):
-            payload, n_frames = futures.pop(0).result()
+            fut = futures.pop(0)
+            # keep the decode pipeline fed even when this video fails
             if k + workers < len(items):
                 futures.append(pool.submit(decode, items[k + workers]))
-            starts = engine.windows_for_video(n_frames, step=step)
-            if device_gather:
-                logits = engine.score_staged(payload, starts, stride=stride)
+            try:
+                payload, n_frames = fut.result()
+            except Exception as e:
+                fail(item, "decode", e)
+                continue
+            try:
+                starts = engine.windows_for_video(n_frames, step=step)
+                if device_gather:
+                    logits = engine.score_staged(payload, starts,
+                                                 stride=stride)
+                else:
+                    windows = engine.gather_windows(payload, starts,
+                                                    stride=stride)
+                    logits = engine.score_windows(windows)
+                _write_score_json(engine, item, n_frames, starts, logits,
+                                  checkpoint, out_dir)
+            except Exception as e:
+                fail(item, "score", e)
             else:
-                windows = engine.gather_windows(payload, starts, stride=stride)
-                logits = engine.score_windows(windows)
-            _write_score_json(engine, item, n_frames, starts, logits,
-                              checkpoint, out_dir)
+                finish(item)
+    return summary
 
 
 def _write_score_json(engine, item, total_frames, starts, logits, checkpoint,
@@ -415,8 +540,7 @@ def _write_score_json(engine, item, total_frames, starts, logits, checkpoint,
                action=item.class_,
                scores=scores)
     out_path = os.path.join(out_dir, f"{item.video_name}.score.json")
-    with open(out_path, "w") as f:
-        json.dump(res, f)
+    _atomic_json_dump(res, out_path)
 
 
 def eval_dataset(engine: InferenceEngine,
@@ -431,7 +555,9 @@ def eval_dataset(engine: InferenceEngine,
                  threshold: float = 0.0,
                  grid: bool = False,
                  shard: Tuple[int, int] = (0, 1),
-                 counts_out: Optional[str] = None) -> Tuple[float, float]:
+                 counts_out: Optional[str] = None,
+                 resume: bool = False,
+                 on_error: str = "raise") -> Tuple[float, float]:
     """Per-video counting over a split → helper.eval_count MAE/OBO + CSV.
 
     Matches reference eval_dataset (:424-512). ``threshold`` flows to the
@@ -454,7 +580,22 @@ def eval_dataset(engine: InferenceEngine,
     metrics are the sums over shards, or pass each worker a
     ``counts_out`` JSON path and merge exactly with
     ``eval_count_shards``.
+
+    Fault tolerance (mirrors inference_dataset): ``on_error='skip'``
+    records an uncountable video in a per-shard failure manifest next to
+    ``counts_out`` (or in ``output_dir``) and keeps sweeping — the video
+    is simply absent from ``pred_dict``, and eval_count's
+    divide-by-full-split denominator makes the partial metrics honest
+    lower bounds. ``resume=True`` (requires ``counts_out``) reloads an
+    existing counts JSON and skips its videos; counts flush atomically
+    after every video, so a kill -9'd shard rerun completes exactly the
+    remaining work and merges bit-identically to an uninterrupted run.
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip': {on_error!r}")
+    if resume and counts_out is None:
+        raise ValueError("resume=True needs counts_out (the file that "
+                         "carries the finished counts across restarts)")
     if anno_path is None:
         anno_path = os.path.join(data_root, "annotation.csv")
     if model_type not in ("video", "image", "similarity", "motion", "repnet"):
@@ -466,34 +607,54 @@ def eval_dataset(engine: InferenceEngine,
         # when the directory doesn't exist, so save_video into a fresh
         # output_dir would write nothing without this
         os.makedirs(output_dir, exist_ok=True)
+    fail_dir = osp.dirname(osp.abspath(counts_out)) if counts_out \
+        else (output_dir or ".")
+    failures = _SweepFailures(_failures_path(fail_dir, shard))
     pred_dict: Dict[str, int] = {}
+    if resume and osp.isfile(counts_out):
+        try:
+            with open(counts_out) as f:
+                pred_dict = {k: int(v) for k, v in json.load(f).items()}
+        except (json.JSONDecodeError, OSError):
+            pred_dict = {}
     for item in _shard_items(list(items.values()), shard):
         name = item.video_name
+        if resume and name in pred_dict:
+            continue
         out_path = None
         if save_video and output_dir is not None:
             out_path = os.path.join(output_dir, name)
-        if model_type == "motion":
-            count, _, _ = count_by_motion_periodicity(item.video_path)
-        elif model_type == "repnet":
-            count, _, _ = count_by_repnet(engine, item.video_path,
-                                          grid=grid)
-        elif model_type == "similarity":
-            count, _, _ = count_by_similarity(engine, item.video_path)
-        elif model_type == "video":
-            count, _ = count_by_video_model(engine, item.video_path,
-                                            ground_truth=item.reps,
-                                            video_out_path=out_path)
-        else:
-            # threshold flows to the image counter only, matching the
-            # reference call shape (inference_count.py:488-493)
-            count, _ = count_by_image_model(engine, item.video_path,
-                                            ground_truth=item.reps,
-                                            video_out_path=out_path,
-                                            threshold=threshold)
+        try:
+            if model_type == "motion":
+                count, _, _ = count_by_motion_periodicity(item.video_path)
+            elif model_type == "repnet":
+                count, _, _ = count_by_repnet(engine, item.video_path,
+                                              grid=grid)
+            elif model_type == "similarity":
+                count, _, _ = count_by_similarity(engine, item.video_path)
+            elif model_type == "video":
+                count, _ = count_by_video_model(engine, item.video_path,
+                                                ground_truth=item.reps,
+                                                video_out_path=out_path)
+            else:
+                # threshold flows to the image counter only, matching the
+                # reference call shape (inference_count.py:488-493)
+                count, _ = count_by_image_model(engine, item.video_path,
+                                                ground_truth=item.reps,
+                                                video_out_path=out_path,
+                                                threshold=threshold)
+        except Exception as e:
+            if on_error == "raise":
+                raise
+            failures.record(name, "count", e)
+            continue
         pred_dict[name] = count
+        failures.clear(name)
+        if counts_out is not None:
+            # incremental + atomic: the finished counts survive a kill -9
+            _atomic_json_dump(pred_dict, counts_out)
     if counts_out is not None:
-        with open(counts_out, "w") as f:
-            json.dump(pred_dict, f)
+        _atomic_json_dump(pred_dict, counts_out)
     mae, obo_acc, eval_res = helper.eval_count(pred_dict, action=action,
                                                split=[split])
     if output_dir is not None:
@@ -594,6 +755,19 @@ def main(argv: Optional[List[str]] = None) -> None:
                         help="bound decode memory: stream each video in "
                              "chunks of this many frames (bit-identical "
                              "scores; use for long videos / dataset sweeps)")
+    parser.add_argument("--skip-existing", action="store_true",
+                        help="score: resume a preempted shard — skip "
+                             "videos whose .score.json already parses")
+    parser.add_argument("--resume", action="store_true",
+                        help="eval: reload --counts-out and skip its "
+                             "videos (counts flush after every video, so "
+                             "a killed shard rerun finishes the rest)")
+    parser.add_argument("--on-error", default="skip",
+                        choices=["skip", "raise"],
+                        help="per-video failure policy: 'skip' (default "
+                             "for the CLI — a corrupt mp4 is logged to "
+                             "the shard's failures manifest and the "
+                             "sweep continues) or 'raise' (fail fast)")
     parser.add_argument("--cpu", action="store_true",
                         help="force CPU backend")
     parser.add_argument("opts", nargs="*", help="dotted config overrides")
@@ -653,13 +827,21 @@ def main(argv: Optional[List[str]] = None) -> None:
             input_rank=4 if args.model_type == "image" else None)
 
     if args.score is not None:
-        inference_dataset(engine, [args.split], args.score,
-                          checkpoint=args.checkpoint or "none",
-                          data_root=data_root, anno_path=anno_path,
-                          shard=(i, n), chunk_frames=args.chunk_frames)
+        summary = inference_dataset(
+            engine, [args.split], args.score,
+            checkpoint=args.checkpoint or "none",
+            data_root=data_root, anno_path=anno_path,
+            shard=(i, n), chunk_frames=args.chunk_frames,
+            skip_existing=args.skip_existing, on_error=args.on_error)
+        print(json.dumps({"scored": len(summary["scored"]),
+                          "skipped": len(summary["skipped"]),
+                          "failed": sorted(summary["failed"]),
+                          "shard": [i, n]}))
         return
     if not args.eval:
         parser.error("pass --score OUT_DIR, --eval, or --merge-shards")
+    if args.resume and args.counts_out is None:
+        parser.error("--resume needs --counts-out")
     mae, obo = eval_dataset(engine, action=[args.action], split=args.split,
                             data_root=data_root, anno_path=anno_path,
                             model_type=args.model_type,
@@ -667,7 +849,8 @@ def main(argv: Optional[List[str]] = None) -> None:
                             save_video=args.save_video,
                             threshold=args.threshold,
                             grid=args.grid,
-                            shard=(i, n), counts_out=args.counts_out)
+                            shard=(i, n), counts_out=args.counts_out,
+                            resume=args.resume, on_error=args.on_error)
     print(json.dumps({"mae": mae, "obo_acc": obo, "shard": [i, n]}))
 
 
