@@ -22,7 +22,7 @@ windows and returns logits. Characteristics:
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,7 +53,9 @@ class InferenceEngine:
                  input_rank: int = 5,
                  mesh: Optional[Any] = None,
                  gather: str = "device",
-                 optimize: bool = True):
+                 optimize: bool = True,
+                 pp_cuts: Optional[Sequence[int]] = None,
+                 pp_microbatches: int = 2):
         if optimize and model is not None:
             # inference-only exact graph rewrites (currently: TimeSformer
             # t_fc folded into t_attn.proj, −3.2% wall / −6% params on
@@ -71,11 +73,26 @@ class InferenceEngine:
         self.labels = None  # optional class labels (set from .jaxm sidecars)
         assert gather in ("device", "host"), gather
         self.gather = gather
+        self.pp_cuts = list(pp_cuts) if pp_cuts is not None else None
+        self.pp_microbatches = int(pp_microbatches)
         if mesh is not None:
             from workoutdetector_tpu.parallel.mesh import dp_size
             n = dp_size(mesh)
             assert window_batch % n == 0, \
                 f"window_batch {window_batch} must divide data-parallel ways {n}"
+        if self.pp_cuts is not None:
+            assert mesh is not None, "pp-staged serving needs a mesh"
+            s = int(mesh.shape["model"])
+            assert len(self.pp_cuts) == s + 1, \
+                f"pp_cuts {self.pp_cuts} must define model={s} stages " \
+                f"(len == stages + 1)"
+            m = self.pp_microbatches
+            assert window_batch % m == 0, \
+                f"window_batch {window_batch} % pp_microbatches {m} != 0"
+            from workoutdetector_tpu.parallel.mesh import dp_size
+            assert (window_batch // m) % dp_size(mesh) == 0, \
+                f"pipeline microbatch {window_batch // m} must divide the " \
+                f"data axis {dp_size(mesh)}"
         self._fn = self._build()
         self._video_fn = None  # lazily-built fused gather+normalize+model
 
@@ -111,6 +128,8 @@ class InferenceEngine:
 
     def _build(self):
         model = self.model
+        if self.pp_cuts is not None:
+            return self._build_pipelined()
         if self.mesh is not None:
             # multi-chip serving: partition large kernels over the 'model'
             # axis (same shape-based rules as training,
@@ -137,6 +156,47 @@ class InferenceEngine:
             return jitted(jax.device_put(x_u8, sharding))
 
         return sharded_run
+
+    def _build_pipelined(self):
+        """pp-STAGED multi-chip serving: the model's segment-ranged
+        forward (models/tsm.py seg_lo/seg_hi — TSM/ResNet and TDN carry
+        one) split at ``pp_cuts`` into mesh.shape['model'] pipeline
+        stages, run through the heterogeneous GPipe ring
+        (parallel.pipeline.pipeline_apply_het). Each chip executes only
+        its own stage per tick while the window batch's microbatches
+        stream around the ICI ring — serving with per-chip activation
+        memory O(1/stages) and stage-local weights use, composing with
+        the 'data' axis for throughput. Staged logits == the one-shot
+        forward (asserted by __graft_entry__.dryrun_multichip's pp-serve
+        phase and tests/test_pipeline.py).
+
+        Boundary activations ride the ring in the model's compute dtype;
+        the fp32 logits promotion happens after the last stage (for
+        bf16 models the final boundary hop quantizes logits to bf16 —
+        ~1e-2 absolute on O(10) logits, immaterial to argmax counting;
+        fp32 models are exact)."""
+        model, variables = self.model, self.variables
+        mesh = self.mesh
+        cuts = self.pp_cuts
+        s_size = len(cuts) - 1
+        ring_dtype = getattr(model, "dtype", jnp.float32)
+
+        def _stage(lo, hi):
+            def fn(v, act):
+                y = model.apply(v, act, train=False, seg_lo=lo, seg_hi=hi)
+                return y.astype(ring_dtype)
+            return fn
+
+        stage_fns = [_stage(cuts[s], cuts[s + 1]) for s in range(s_size)]
+        from workoutdetector_tpu.parallel.pipeline import pipeline_apply_het
+
+        def run(x_u8: jnp.ndarray) -> jnp.ndarray:
+            x = normalize_clip(x_u8).astype(ring_dtype)
+            logits = pipeline_apply_het(stage_fns, variables, x, mesh,
+                                        self.pp_microbatches)
+            return logits.astype(jnp.float32)
+
+        return jax.jit(run)
 
     @property
     def supports_device_gather(self) -> bool:
