@@ -7,6 +7,7 @@ import io
 import json
 import socket
 import threading
+import time
 import urllib.request
 
 import jax
@@ -730,3 +731,82 @@ def test_warmup_compiles_before_listen():
         assert health["warm"] is True
     finally:
         srv.shutdown()
+
+
+def test_ws_overload_sheds_oldest_frames():
+    """VERDICT r4 #5: explicit overload policy. A client streaming far
+    faster than the device scores must NOT grow queues or stall the
+    reader — the per-connection deque sheds OLDEST frames (the
+    reference's silent deque(maxlen) drop, app/server.py:45-48, made
+    observable via /stats frames_shed), scores stay serialized, and
+    every reply reflects the FRESHEST window at flush time."""
+    model = ConstModel()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8, SIZE, SIZE, 3)))
+    engine = InferenceEngine(model, variables, num_segments=8,
+                             window_batch=4, image_size=SIZE)
+    real_score = engine.score_windows
+
+    def slow_score(windows):
+        time.sleep(0.25)  # make the device the bottleneck
+        return real_score(windows)
+
+    engine.score_windows = slow_score
+    srv = WorkoutServer(engine, host="127.0.0.1", http_port=_free_port(),
+                        ws_port=_free_port(), batch_delay_ms=1.0)
+
+    async def drive():
+        import websockets
+        ws_task = asyncio.create_task(srv.serve_ws())
+        uri = f"ws://127.0.0.1:{srv.ws_port}/ws/overload"
+        # pre-listen warmup compiles first (and pays one slow_score):
+        # poll until the listener binds
+        for _ in range(200):
+            await asyncio.sleep(0.2)
+            try:
+                probe = await websockets.connect(uri)
+                await probe.close()
+                break
+            except OSError:
+                continue
+        try:
+            async with websockets.connect(uri) as ws:
+                # 64 frames of rising brightness, sent with no reads:
+                # only ~1 window can score per 0.25 s
+                for i in range(64):
+                    await ws.send(_frame_data_url(3 * i + 10))
+                    await asyncio.sleep(0.005)
+                replies = []
+                while True:
+                    try:
+                        r = json.loads(await asyncio.wait_for(
+                            ws.recv(), timeout=1.0))
+                    except asyncio.TimeoutError:
+                        break
+                    assert r["success"] is True
+                    replies.append(max(r["data"].values()))
+                assert replies, "no replies under overload"
+                # the policy shed instead of queueing: far fewer replies
+                # than windows offered, and the server counted the drops
+                assert len(replies) < 8
+                assert srv._frames_shed > 0
+                # freshest-window semantics: the last score saw bright
+                # (late) frames, not the dark early backlog
+                assert replies[-1] > replies[0] + 0.1, replies
+                # recovery: a normally-paced window still scores
+                for _ in range(8):
+                    await ws.send(_frame_data_url(100))
+                    await asyncio.sleep(0.05)
+                r = json.loads(await asyncio.wait_for(ws.recv(), 30))
+                assert r["success"] is True
+                await ws.send("stop")
+            stats = srv.stats()
+            assert stats["frames_shed"] == srv._frames_shed
+        finally:
+            ws_task.cancel()
+            try:
+                await ws_task
+            except asyncio.CancelledError:
+                pass
+
+    asyncio.run(drive())

@@ -65,6 +65,20 @@ def main() -> None:
     p.add_argument("--batch-delay-ms", type=float, default=10.0)
     p.add_argument("--mode", choices=["recognize", "periodic"],
                    default="recognize")
+    p.add_argument("--open-loop", action="store_true",
+                   help="saturation mode (recognize only): clients "
+                        "stream frames for --duration seconds WITHOUT "
+                        "waiting for replies (webcam semantics, not "
+                        "request/response), so offered load can exceed "
+                        "capacity and the shed-oldest overload policy "
+                        "engages; reports served windows/s, frames shed, "
+                        "and freshness percentiles (reply arrival minus "
+                        "newest-frame send — how stale a live result is)")
+    p.add_argument("--duration", type=float, default=8.0,
+                   help="open-loop: seconds of streaming per round")
+    p.add_argument("--fps", type=float, default=0.0,
+                   help="open-loop: per-client frame cadence "
+                        "(0 = as fast as possible)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -155,8 +169,96 @@ def main() -> None:
             await ws.send("stop")
         return lat
 
+    async def one_client_open(cid, stop_at):
+        """Stream frames until the deadline without awaiting replies; a
+        reader task tallies replies + freshness (reply arrival − newest
+        frame send). Overload shows up as server-side shed frames, NOT
+        as queue growth or missed replies."""
+        import websockets
+        uri = f"ws://127.0.0.1:{srv.ws_port}/ws/bench{cid}"
+        freshness = []
+        last_send = [0.0]
+        async with websockets.connect(uri, max_size=None) as ws:
+            async def reader():
+                try:
+                    while True:
+                        reply = json.loads(await ws.recv())
+                        assert reply.get("success"), reply
+                        freshness.append(
+                            time.perf_counter() - last_send[0])
+                except Exception:
+                    pass
+
+            rt = asyncio.create_task(reader())
+            sent = 0
+            period = 1.0 / args.fps if args.fps > 0 else 0.0
+            nxt = time.perf_counter()
+            while time.perf_counter() < stop_at:
+                last_send[0] = time.perf_counter()
+                await ws.send(frames[cid])
+                sent += 1
+                if period:
+                    nxt += period
+                    delay = nxt - time.perf_counter()
+                    if delay > 0:
+                        await asyncio.sleep(delay)
+                else:
+                    await asyncio.sleep(0)
+            # let in-flight scores land before closing
+            await asyncio.sleep(1.0)
+            rt.cancel()
+            await ws.send("stop")
+        return sent, freshness
+
     if args.mode == "periodic":
         one_client = one_client_periodic
+
+    async def drive_open():
+        ws_task = asyncio.create_task(srv.serve_ws())
+        await asyncio.sleep(0.3)
+        # warmup round engages compiles + batcher
+        await asyncio.gather(*[one_client_open(
+            c, time.perf_counter() + 2.0) for c in range(args.clients)])
+        shed0 = srv._frames_shed
+        req0, fl0 = srv.batcher.n_requests, srv.batcher.n_flushes
+        t0 = time.perf_counter()
+        res = await asyncio.gather(*[one_client_open(
+            c, t0 + args.duration) for c in range(args.clients)])
+        dt = time.perf_counter() - t0
+        ws_task.cancel()
+        try:
+            await ws_task
+        except asyncio.CancelledError:
+            pass
+        return res, dt, srv._frames_shed - shed0, \
+            srv.batcher.n_requests - req0, srv.batcher.n_flushes - fl0
+
+    if args.open_loop:
+        assert args.mode == "recognize", "--open-loop is recognize-only"
+        res, dt, shed, n_req, n_flush = asyncio.run(drive_open())
+        sent = sum(s for s, _ in res)
+        fresh = sorted(f for _, fs in res for f in fs)
+        assert fresh, "no replies received"
+
+        def pct(q):
+            return round(1e3 * fresh[int(q * (len(fresh) - 1))], 1)
+
+        print(json.dumps({
+            "metric": "serving_ws_saturation",
+            "clients": args.clients,
+            "duration_s": round(dt, 2),
+            "offered_frames_per_sec": round(sent / dt, 1),
+            "served_windows_per_sec": round(len(fresh) / dt, 2),
+            "served_frames_per_sec": round(8 * len(fresh) / dt, 1),
+            "frames_shed": shed,
+            "shed_fraction": round(shed / max(sent, 1), 3),
+            "freshness_p50_ms": pct(0.50),
+            "freshness_p95_ms": pct(0.95),
+            "freshness_p99_ms": pct(0.99),
+            "batch_coalescing": round(n_req / max(n_flush, 1), 2),
+            "backend": "cpu" if args.cpu else "tpu",
+        }))
+        return
 
     async def drive():
         ws_task = asyncio.create_task(srv.serve_ws())
