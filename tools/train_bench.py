@@ -62,6 +62,10 @@ def main() -> None:
                         "(read with tools/trace_top.py)")
     parser.add_argument("--base-model", default="resnet50")
     parser.add_argument("--image-size", type=int, default=224)
+    parser.add_argument("--pallas-conv-bwd", action="store_true",
+                        help="bottleneck 1×1 convs backward through the "
+                        "Pallas matmul kernels (ops/pallas/conv1x1.py) — "
+                        "the conv-backward MFU probe, VERDICT r4 #2")
     args = parser.parse_args()
 
     import jax
@@ -81,6 +85,7 @@ def main() -> None:
     cfg.model.dtype = args.dtype
     cfg.model.remat = args.remat
     cfg.model.partial_bn = not args.full_bn
+    cfg.model.pallas_conv_bwd = args.pallas_conv_bwd
     cfg.data.image_size = args.image_size
     cfg.data.device_augment = args.device_augment
     if args.flat_optimizer:
@@ -161,6 +166,7 @@ def main() -> None:
         "full_bn": args.full_bn,
         "ema": args.ema,
         "watch_every": args.watch,
+        "pallas_conv_bwd": args.pallas_conv_bwd,
     }))
 
 

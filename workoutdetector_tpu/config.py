@@ -250,7 +250,9 @@ class ModelConfig(ConfigNode):
     moe_aux_weight: float = 0.01  # Switch load-balance loss weight
     # TPU specifics
     dtype: str = "bfloat16"  # compute dtype; params stay fp32
-    shift_impl: str = "xla"  # xla | pallas
+    shift_impl: str = "xla"  # xla | xla-edge | pallas | unfused
+    # shift-site placement stride (reference n_round): 0 = depth rule
+    shift_round: int = 0
     remat: bool = False  # jax.checkpoint residual blocks (memory ↔ FLOPs)
     # whole-block Pallas inference fusion for the early ResNet stages
     # (ops/pallas/fused_block.py). Measured SLOWER e2e on v5e (982 vs
@@ -258,6 +260,9 @@ class ModelConfig(ConfigNode):
     # OFF; 'true' force-enables (single-chip TPU inference only).
     fused_block: str = "auto"  # auto (=off) | true | false
     fused_stages: List[int] = field(default_factory=lambda: [0, 1])
+    # TRAIN probe: bottleneck 1×1 convs backward through Pallas matmul
+    # kernels (ops/pallas/conv1x1.py) — forward/inference unchanged
+    pallas_conv_bwd: bool = False
     # TimeSformer spatial attention through the Pallas TPU flash kernel
     # (models/timesformer.MHA flash path; param-tree-identical). 'auto'
     # resolves to ON when the default backend is a TPU, OFF elsewhere

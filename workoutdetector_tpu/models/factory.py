@@ -44,6 +44,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
         return TSM(num_class=cfg.num_class,
                    fused_block=_resolve_fused(cfg.fused_block),
                    fused_stages=tuple(cfg.fused_stages),
+                   pallas_conv_bwd=cfg.pallas_conv_bwd,
                    num_segments=cfg.num_segments,
                    base_model=cfg.base_model,
                    is_shift=cfg.is_shift,
@@ -56,6 +57,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
                    non_local=cfg.non_local,
                    dtype=dtype,
                    shift_impl=cfg.shift_impl,
+                   shift_round=cfg.shift_round,
                    remat=cfg.remat)
     if mt == "tdn":
         return TDN(num_class=cfg.num_class,

@@ -55,7 +55,8 @@ class ShiftConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from workoutdetector_tpu.ops.temporal_shift import shift_conv
+        from workoutdetector_tpu.ops.temporal_shift import (shift_conv,
+                                                            shift_conv_edge)
         kh, kw = self.kernel_size
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (kh, kw, x.shape[-1], self.features))
@@ -67,8 +68,26 @@ class ShiftConv(nn.Module):
                 make_shift_matmul
             op = make_shift_matmul(self.n_segment, self.fold_div)
             return op(x, kernel[0, 0])
-        return shift_conv(x, kernel, self.n_segment, self.fold_div,
-                          tuple(self.strides), self.padding)
+        fn = shift_conv_edge if self.impl == "xla-edge" else shift_conv
+        return fn(x, kernel, self.n_segment, self.fold_div,
+                  tuple(self.strides), self.padding)
+
+
+class PallasBwdConv1x1(nn.Module):
+    """Stride-1 1×1 conv whose BACKWARD runs the Pallas matmul kernels
+    (ops/pallas/conv1x1.py): forward is the identical XLA convolution,
+    so inference graphs, BN/ReLU fusions and numerics are untouched —
+    only the train-step cotangents change producer. Param-compatible
+    with ``nn.Conv(features, (1, 1), use_bias=False)``."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from workoutdetector_tpu.ops.pallas.conv1x1 import conv1x1
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, x.shape[-1], self.features))
+        return conv1x1(x.astype(self.dtype), kernel.astype(self.dtype))
 
 
 class _ConvKernel(nn.Module):
@@ -162,6 +181,11 @@ class Bottleneck(nn.Module):
     # where BN uses batch stats) the unfused path below runs. The param
     # tree is identical either way.
     fuse_impl: Optional[str] = None
+    # 'pallas': stride-1 1×1 convs (conv1 when unshifted, conv3, and a
+    # stride-1 downsample) keep their XLA forward but compute backward
+    # through the Pallas matmul kernels (ops/pallas/conv1x1.py) — the
+    # train-MFU probe lever, param tree unchanged
+    conv1x1_bwd: Optional[str] = None
 
     def _fused(self, x, train: bool) -> Optional[jnp.ndarray]:
         if (self.fuse_impl != "pallas" or train or self.strides != 1
@@ -205,6 +229,14 @@ class Bottleneck(nn.Module):
         if fused is not None:
             return fused
         residual = x
+
+        def conv1x1(features, name):
+            if self.conv1x1_bwd == "pallas":
+                return PallasBwdConv1x1(features, dtype=self.dtype,
+                                        name=name)
+            return nn.Conv(features, (1, 1), use_bias=False,
+                           dtype=self.dtype, name=name)
+
         y = x if self.input_hook is None else self.input_hook(x)
         if self.shift is not None:
             impl = self.shift[2] if len(self.shift) > 2 else "xla"
@@ -212,8 +244,7 @@ class Bottleneck(nn.Module):
                           fold_div=self.shift[1], dtype=self.dtype,
                           impl=impl, name="conv1")(y)
         else:
-            y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype,
-                        name="conv1")(y)
+            y = conv1x1(self.filters, "conv1")(y)
         y = self.norm(name="bn1")(y, use_running_average=not train)
         y = nn.relu(y)
         y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides),
@@ -221,13 +252,18 @@ class Bottleneck(nn.Module):
                     name="conv2")(y)
         y = self.norm(name="bn2")(y, use_running_average=not train)
         y = nn.relu(y)
-        y = nn.Conv(self.filters * self.expansion, (1, 1), use_bias=False,
-                    dtype=self.dtype, name="conv3")(y)
+        y = conv1x1(self.filters * self.expansion, "conv3")(y)
         y = self.norm(name="bn3")(y, use_running_average=not train)
         if self.downsample:
-            residual = nn.Conv(self.filters * self.expansion, (1, 1),
-                               (self.strides, self.strides), use_bias=False,
-                               dtype=self.dtype, name="downsample_conv")(residual)
+            if self.strides == 1 and self.conv1x1_bwd == "pallas":
+                residual = PallasBwdConv1x1(
+                    self.filters * self.expansion, dtype=self.dtype,
+                    name="downsample_conv")(residual)
+            else:
+                residual = nn.Conv(self.filters * self.expansion, (1, 1),
+                                   (self.strides, self.strides),
+                                   use_bias=False, dtype=self.dtype,
+                                   name="downsample_conv")(residual)
             residual = self.norm(name="downsample_bn")(residual,
                                                        use_running_average=not train)
         return nn.relu(y + residual)
@@ -277,6 +313,9 @@ class ResNet(nn.Module):
     # fn(stage_idx, block_idx) → Optional[str]: whole-block Pallas fusion
     # policy for inference (Bottleneck.fuse_impl; bottleneck archs only)
     block_fuse_spec: Optional[Callable] = None
+    # 'pallas': Bottleneck 1×1 convs backward through the Pallas matmul
+    # kernels (Bottleneck.conv1x1_bwd; bottleneck archs only)
+    conv1x1_bwd: Optional[str] = None
     bn_momentum: float = 0.9
     bn_eps: float = 1e-5
     # rematerialize residual blocks on backward: trades ~30% more FLOPs for
@@ -345,6 +384,8 @@ class ResNet(nn.Module):
                 kw = {}
                 if self.bottleneck and self.block_fuse_spec is not None:
                     kw["fuse_impl"] = self.block_fuse_spec(i, j)
+                if self.bottleneck and self.conv1x1_bwd is not None:
+                    kw["conv1x1_bwd"] = self.conv1x1_bwd
                 x = block_cls(filters=filters,
                               strides=strides,
                               downsample=downsample,

@@ -45,7 +45,11 @@ class TSM(nn.Module):
     non_local: bool = False  # accepted for config parity; the reference
     # stores but never wires this flag either (models/tsm.py:237)
     dtype: Any = jnp.float32
-    shift_impl: str = "xla"  # xla | pallas
+    shift_impl: str = "xla"  # xla | xla-edge | pallas | unfused
+    # shift-site placement stride (reference n_round, tsm.py:125-137):
+    # 0 = the reference's depth rule (2 for resnet101, else 1); 2 shifts
+    # every other block — the VERDICT r4 #6 placement-sweep lever
+    shift_round: int = 0
     remat: bool = False  # rematerialize blocks (activation-memory lever)
     # whole-block Pallas fusion for INFERENCE (train steps keep XLA):
     # eligible bottleneck blocks of the listed stages run as single
@@ -55,6 +59,10 @@ class TSM(nn.Module):
     # candidates the kernel was built for.
     fused_block: bool = False
     fused_stages: Any = (0, 1)
+    # TRAIN-path probe: bottleneck 1×1 convs keep their XLA forward but
+    # compute backward through Pallas matmul kernels
+    # (ops/pallas/conv1x1.py; measured in docs/PERF.md's lever table)
+    pallas_conv_bwd: bool = False
 
     def _seg_at_stage(self, stage_idx: int) -> int:
         """Segments alive at a stage: temporal_pool halves T after stage 1
@@ -79,7 +87,8 @@ class TSM(nn.Module):
         stage has ≥23 blocks (resnet101)."""
         if not self.is_shift:
             return x
-        n_round = 2 if STAGE_SIZES[self.base_model][2] >= 23 else 1
+        n_round = self.shift_round or \
+            (2 if STAGE_SIZES[self.base_model][2] >= 23 else 1)
         if self.shift_place == "blockres" and block_idx % n_round == 0:
             return self._shift(x, self._seg_at_stage(stage_idx))
         return x
@@ -142,12 +151,13 @@ class TSM(nn.Module):
             def pre_hook(y, stage_idx, block_idx):
                 return self._shift(y, self._seg_at_stage(stage_idx))
         elif self.is_shift and self.shift_place == "blockres" and \
-                self.shift_impl in ("xla", "pallas"):
+                self.shift_impl in ("xla", "xla-edge", "pallas"):
             # fused path: conv1 absorbs the shift — only the thin folds
             # move through HBM vs materializing the shifted tensor
             # ('xla' = ops.shift_conv split convs; 'pallas' = single-pass
             # shift-matmul kernel at 1×1 sites)
-            n_round = 2 if STAGE_SIZES[self.base_model][2] >= 23 else 1
+            n_round = self.shift_round or \
+                (2 if STAGE_SIZES[self.base_model][2] >= 23 else 1)
 
             def shift_spec(stage_idx, block_idx):
                 if block_idx % n_round == 0:
@@ -177,6 +187,8 @@ class TSM(nn.Module):
                           block_shift_spec=shift_spec,
                           stage_input_hook=self._stage_hook,
                           block_fuse_spec=fuse_spec,
+                          conv1x1_bwd="pallas" if self.pallas_conv_bwd
+                          else None,
                           remat=self.remat,
                           name="backbone")
         feat = backbone(x, train=train, seg_lo=seg_lo,
