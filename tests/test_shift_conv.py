@@ -117,3 +117,72 @@ def test_tsm_pallas_impl_matches_xla():
         y_pl = pl_model.apply(v, x)
     np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_xla),
                                rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("khw,strides,padding,c,o", [
+    ((1, 1), (1, 1), "SAME", 64, 16),
+    ((3, 3), (1, 1), [(1, 1), (1, 1)], 32, 32),
+    ((3, 3), (2, 2), [(1, 1), (1, 1)], 16, 8),
+])
+def test_shift_conv_edge_matches_unfused(khw, strides, padding, c, o):
+    """VERDICT r4 #6 lever: the edge-correction formulation (unmasked
+    rolled folds + per-clip-boundary repair convs) is EXACTLY the
+    shifted conv — including the roll wraparound across clip boundaries
+    and the batch wraparound at clip 0/B-1."""
+    from workoutdetector_tpu.ops.temporal_shift import shift_conv_edge
+
+    rng = np.random.default_rng(3)
+    bt, h, w = 3 * 4, 8, 8  # odd clip count exercises the batch roll
+    x = jnp.asarray(rng.standard_normal((bt, h, w, c)).astype(np.float32))
+    kernel = jnp.asarray(
+        rng.standard_normal(khw + (c, o)).astype(np.float32) * 0.1)
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    want = jax.lax.conv_general_dilated(
+        temporal_shift_flat(x, n_segment=4, fold_div=8), kernel, strides,
+        padding, dimension_numbers=dn)
+    got = shift_conv_edge(x, kernel, n_segment=4, fold_div=8,
+                          strides=strides, padding=padding)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_tsm_xla_edge_impl_matches_xla():
+    x = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (2, 4, SMALL, SMALL, 3)).astype(np.float32))
+    a = TSM(num_class=5, num_segments=4, base_model="resnet18",
+            dropout=0.0, shift_impl="xla")
+    b = TSM(num_class=5, num_segments=4, base_model="resnet18",
+            dropout=0.0, shift_impl="xla-edge")
+    v = a.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(b.apply(v, x)),
+                               np.asarray(a.apply(v, x)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_shift_round_placement():
+    """shift_round=2 shifts every other block (the reference's resnet101
+    n_round rule made sweepable); the param tree is unchanged, and the
+    un-shifted blocks' conv1 reverts to a plain conv (logits differ from
+    every-block shift but match a hook-based every-other-block oracle)."""
+    from flax import traverse_util
+
+    from workoutdetector_tpu.ops.temporal_shift import temporal_shift_flat
+
+    x = jnp.asarray(np.random.default_rng(6).standard_normal(
+        (2, 4, SMALL, SMALL, 3)).astype(np.float32))
+    base = TSM(num_class=5, num_segments=4, base_model="resnet18",
+               dropout=0.0, shift_impl="xla")
+    half = TSM(num_class=5, num_segments=4, base_model="resnet18",
+               dropout=0.0, shift_impl="xla", shift_round=2)
+    half_unfused = TSM(num_class=5, num_segments=4, base_model="resnet18",
+                       dropout=0.0, shift_impl="unfused", shift_round=2)
+    v = base.init(jax.random.PRNGKey(0), x)
+    assert set(traverse_util.flatten_dict(v["params"])) == \
+        set(traverse_util.flatten_dict(
+            half.init(jax.random.PRNGKey(0), x)["params"]))
+    y_all = base.apply(v, x)
+    y_half = half.apply(v, x)
+    assert np.abs(np.asarray(y_all) - np.asarray(y_half)).max() > 1e-6
+    np.testing.assert_allclose(np.asarray(half_unfused.apply(v, x)),
+                               np.asarray(y_half), rtol=1e-4, atol=1e-5)
