@@ -58,6 +58,10 @@ def main() -> None:
                    help="repnet ships at 64 (configs/repnet.yaml)")
     p.add_argument("--segments", type=int, default=None,
                    help="override cfg.num_segments (repnet ships at 64)")
+    p.add_argument("--num-class", type=int, default=None,
+                   help="override cfg.num_class (e.g. 400 to quantify "
+                        "the Kinetics-400 head cost vs the 12-class "
+                        "RepCount head)")
     p.add_argument("--steps", type=int, default=80,
                    help="large default: dispatch overhead on the lazy "
                         "tunneled backend only amortizes past ~40 steps")
@@ -97,6 +101,8 @@ def main() -> None:
     cfg.model_type = args.model
     cfg.dropout = 0.0
     cfg.image_size = args.image_size
+    if args.num_class:
+        cfg.num_class = args.num_class
     if args.segments:
         cfg.num_segments = args.segments
     if args.flash:
@@ -245,6 +251,7 @@ def _bench_one(args, cfg, model, params, batch_stats, n_params, batch,
         "model": args.model,
         "base_model": cfg.base_model,
         "mode": "train" if args.train else "inference",
+        "num_class": cfg.num_class,
         "batch": batch,
         "params_m": round(n_params / 1e6, 2),
         "ms_per_step": round(dt * 1e3, 2),
