@@ -1,6 +1,6 @@
 # Convenience targets for workoutdetector_tpu.
 
-.PHONY: all native test test-fast bench train-bench lint clean
+.PHONY: all native test test-fast bench train-bench repro lint clean
 
 all: native
 
@@ -19,6 +19,11 @@ bench:
 
 train-bench:
 	python tools/train_bench.py
+
+# one-command protocol reproduction: corpus -> train -> sharded score
+# sweep -> merged MAE/OBO table written into README.md (tools/repro.py)
+repro: native
+	python tools/repro.py --cpu
 
 clean:
 	$(MAKE) -C native clean

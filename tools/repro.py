@@ -1,0 +1,315 @@
+"""One-command full-protocol reproduction (VERDICT r4 #4).
+
+Runs the reference's entire experimental protocol — build dataset →
+train a state classifier → score every test video in shards through the
+real ``wd-eval`` CLI → merge → MAE/OBO — end-to-end from a fresh
+checkout, plus the training-free counter families over the same split,
+and emits the headline accuracy table into README.md (between the
+``<!-- repro:begin/end -->`` markers) next to the reference's published
+numbers (reference utils/eval.py:135-136: MAE 4.0141 / OBO 0.2293 with
+its pretrained checkpoints on the full RepCount test split).
+
+Everything is seeded — a rerun with the same arguments reproduces the
+table bit-stably (asserted by tests/test_repro.py on a reduced
+configuration).
+
+Usage::
+
+    make repro            # CPU, synthetic corpus protocol (~10 min)
+    python tools/repro.py --cpu [--videos 40] [--steps 150] [--seed 0]
+    python tools/repro.py --real   # adds the real-footage joint table
+                                   # (trains on v5e; see STATUS round 4)
+
+The real RepCount dataset cannot be fetched in-image (zero egress), so
+the corpus is the synthetic RepCount-shaped one
+(data/synthetic.build_repcount_corpus — exact annotation schema,
+dark/bright half-states); the protocol machinery is identical to what
+would run over the real data with real checkpoints.
+"""
+
+import argparse
+import json
+import os
+import os.path as osp
+import re
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+MARK_BEGIN = "<!-- repro:begin -->"
+MARK_END = "<!-- repro:end -->"
+
+
+def build_corpus(root: str, n_videos: int, size: int, seed: int):
+    from workoutdetector_tpu.data.synthetic import build_repcount_corpus
+    df = build_repcount_corpus(
+        root, n_videos=n_videos, size=size, seed=seed,
+        splits=(("train", 0.5), ("test", 0.5)), zero_count_frac=0.1)
+    return df
+
+
+def train_state_classifier(root, df, image_size: int, steps: int,
+                           seed: int, ckpt_dir: str) -> dict:
+    """The reference training protocol on the corpus train split:
+    consecutive 8-frame windows labeled by their center frame's rep
+    phase (start→mid = 0, mid→end = 1 — repcount_dataset.py:18-85's
+    labeling), trained through the sharded jitted step and saved as an
+    orbax checkpoint (the artifact every scoring stage consumes)."""
+    import numpy as np
+
+    from workoutdetector_tpu.config import Config
+    from workoutdetector_tpu.data.transforms import (center_crop,
+                                                     resize_short_side)
+    from workoutdetector_tpu.data.video import VideoReader
+    from workoutdetector_tpu.parallel.mesh import shard_batch
+    from workoutdetector_tpu.train.checkpoint import CheckpointManager
+    from workoutdetector_tpu.train.trainer import Trainer
+
+    train_rows = df[df["split"] == "train"]
+    windows, labels = [], []
+    for _, row in train_rows.iterrows():
+        reps = [int(x) for x in str(row["reps"]).split()] \
+            if isinstance(row["reps"], str) and row["reps"].strip() else []
+        if not reps:
+            continue
+        phase = {}
+        for s, e in zip(reps[0::2], reps[1::2]):
+            mid = (s + e) // 2
+            phase.update({f: 0 for f in range(s, mid)})
+            phase.update({f: 1 for f in range(mid, e)})
+        path = osp.join(root, "videos", "train", row["name"])
+        with VideoReader(path) as r:
+            vid = r.read_prepped(round(image_size * 256 / 224), image_size)
+        for s in range(reps[0], min(reps[-1], len(vid)) - 8):
+            if (s + 4) in phase:
+                windows.append(vid[s:s + 8])
+                labels.append(phase[s + 4])
+    x_all = np.stack(windows).astype(np.uint8)
+    y_all = np.asarray(labels, np.int32)
+
+    cfg = Config()
+    cfg.model.model_type = "tsm"
+    cfg.model.base_model = "resnet18"
+    cfg.model.num_class = 2
+    cfg.model.num_segments = 8
+    cfg.model.dropout = 0.3
+    cfg.model.dtype = "float32"
+    cfg.data.image_size = image_size
+    cfg.data.num_segments = 8
+    cfg.optimizer.method = "adamw"
+    cfg.optimizer.lr = 3e-4
+    cfg.optimizer.weight_decay = 1e-4
+    cfg.optimizer.use_tsn_policies = False
+    cfg.seed = seed
+    trainer = Trainer(cfg)
+    state = trainer.init_state(steps_per_epoch=max(steps, 1),
+                               image_size=image_size)
+    step = trainer.train_step_fn()
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    last = {}
+    for s in range(steps):
+        sel = rng.choice(len(x_all), 16)
+        flip = rng.random(16) < 0.5
+        x = np.stack([xi[:, :, ::-1] if f else xi
+                      for xi, f in zip(x_all[sel], flip)])
+        state, m = step(state, *shard_batch(
+            (np.ascontiguousarray(x), y_all[sel]), trainer.mesh))
+        last = {k: float(np.asarray(v)) for k, v in m.items()}
+        if s % 25 == 0 or s == steps - 1:
+            print(f"  train step {s} loss {last['loss']:.3f} "
+                  f"acc {last['acc']:.2f} t={time.time() - t0:.0f}s",
+                  file=sys.stderr, flush=True)
+    mgr = CheckpointManager(ckpt_dir)
+    mgr.save(state, name="last")
+    mgr.wait_until_finished()
+    return dict(train_windows=len(x_all),
+                final_train_acc=round(last.get("acc", 0.0), 3))
+
+
+def wd_eval_cli(argv) -> None:
+    from workoutdetector_tpu.infer.inference_count import main
+    main(argv)
+
+
+def _count_metrics(pairs) -> dict:
+    """Uniform per-family metrics from (pred, gt) count pairs: raw MAE
+    (mean |pred − gt|, the unit of the reference's published 4.0141),
+    within-one fraction, exact fraction."""
+    diffs = [abs(p - g) for p, g in pairs]
+    n = len(diffs)
+    return dict(raw_mae=round(sum(diffs) / n, 4),
+                within_one=round(sum(d <= 1 for d in diffs) / n, 4),
+                exact=round(sum(d == 0 for d in diffs) / n, 4),
+                n=n)
+
+
+def score_and_eval(root, df, ckpt, image_size: int, out_dir: str,
+                   cpu: bool) -> dict:
+    """Sharded score sweep (2 workers, bounded memory) through the real
+    CLI → merged dir → eval_score_dir counts, plus the --eval counting
+    families (reference utils/eval.py protocol). Metrics are computed
+    UNIFORMLY per family from (pred, gt) counts (the helper's
+    normalized-MAE and eval_score_dir's exact-off-by-one OBO use
+    different definitions — a mixed table would be unreadable)."""
+    from workoutdetector_tpu import counting
+
+    gt = {row["name"]: int(row["count"])
+          for _, row in df[df["split"] == "test"].iterrows()}
+    overrides = ["model.model_type=tsm", "model.base_model=resnet18",
+                 "model.num_class=2", "model.num_segments=8",
+                 "model.dropout=0.0", "model.dtype=float32",
+                 f"data.image_size={image_size}", "data.num_segments=8"]
+    cpu_flag = ["--cpu"] if cpu else []
+    score_dir = osp.join(out_dir, "scores")
+    for i in range(2):
+        wd_eval_cli(["--score", score_dir, "--split", "test",
+                     "--shard", f"{i}/2", "--chunk-frames", "256",
+                     "--checkpoint", ckpt, "--data-root", root,
+                     "--on-error", "raise"] + cpu_flag + overrides)
+    _, _, rows = counting.eval_score_dir(
+        score_dir, osp.join(root, "annotation.csv"),
+        out_csv=osp.join(out_dir, "eval_video.csv"), softmax=True)
+    assert len(rows) == len(gt)
+    res = {"video": _count_metrics(
+        [(r["pred_count"], r["gt_count"]) for r in rows])}
+
+    # training-free families through the same eval_dataset protocol
+    for family in ("motion", "similarity"):
+        counts_out = osp.join(out_dir, f"counts_{family}.json")
+        wd_eval_cli(["--eval", "--model-type", family, "--split", "test",
+                     "--data-root", root, "--counts-out", counts_out,
+                     "--on-error", "raise"] + cpu_flag + overrides)
+        with open(counts_out) as f:
+            counts = json.load(f)
+        res[family] = _count_metrics(
+            [(int(counts[n]), g) for n, g in gt.items()])
+    return res
+
+
+def run_real(steps: int, seed: int) -> dict:
+    """The real-footage joint protocol (tools/real_video_eval --mode
+    joint): one multi-action checkpoint, all four shipped real videos,
+    every counter family through eval_dataset. Trains for real — run on
+    TPU (see STATUS round 4 for the published table)."""
+    out = subprocess.run(
+        [sys.executable, osp.join(REPO, "tools", "real_video_eval.py"),
+         "--mode", "joint", "--steps", str(steps), "--seed", str(seed)],
+        capture_output=True, text=True, timeout=7200)
+    if out.returncode != 0:
+        raise RuntimeError(f"real_video_eval failed:\n{out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def render_table(synth: dict, info: dict, args, real: dict = None) -> str:
+    lines = [
+        MARK_BEGIN,
+        "### Reproducible accuracy table (`make repro`)",
+        "",
+        f"Synthetic RepCount-shaped corpus ({args.videos} videos, seed "
+        f"{args.seed}; real RepCount media cannot be fetched in-image), "
+        "full protocol: train state classifier "
+        f"({info['train_windows']} windows, {args.steps} steps) → "
+        "2-shard `wd-eval --score --chunk-frames` sweep → merged "
+        "`eval_score_dir`; training-free families through the same "
+        "`eval_dataset` protocol. Reference baseline: its *pretrained* "
+        "checkpoints publish **MAE 4.0141 / OBO 0.2293** on the real "
+        "RepCount test split (reference `utils/eval.py:135-136`).",
+        "",
+        "| counter family | raw MAE | within-one | exact | videos |",
+        "|---|---|---|---|---|",
+    ]
+    label = {"video": "video state classifier (trained here)",
+             "motion": "motion periodicity (training-free)",
+             "similarity": "feature similarity (training-free)"}
+    for fam, r in synth.items():
+        lines.append(f"| {label.get(fam, fam)} | {r['raw_mae']:.4f} | "
+                     f"{r['within_one']:.2f} | {r['exact']:.2f} | "
+                     f"{r['n']} |")
+    if real:
+        lines += ["",
+                  "Real-footage joint protocol (`--real`, the four "
+                  "shipped example videos, one multi-action from-scratch "
+                  "checkpoint — see STATUS.md round 4 for the analysis):",
+                  "",
+                  "| family | raw MAE | within-one |", "|---|---|---|"]
+        for fam, r in real.get("families", real).items():
+            if isinstance(r, dict) and "raw_mae" in r:
+                lines.append(f"| {fam} | {r['raw_mae']} | "
+                             f"{r.get('within_one', '-')} |")
+    lines += [MARK_END]
+    return "\n".join(lines)
+
+
+def update_readme(table: str, path: str = None) -> None:
+    path = path or osp.join(REPO, "README.md")
+    text = open(path).read()
+    block = re.compile(re.escape(MARK_BEGIN) + ".*?" + re.escape(MARK_END),
+                       re.S)
+    if block.search(text):
+        text = block.sub(lambda _: table, text)
+    else:
+        text = text.rstrip() + "\n\n" + table + "\n"
+    with open(path, "w") as f:
+        f.write(text)
+
+
+def main(argv=None) -> dict:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--cpu", action="store_true", default=None,
+                   help="force the CPU backend (default unless --real)")
+    p.add_argument("--videos", type=int, default=40)
+    p.add_argument("--steps", type=int, default=80)
+    p.add_argument("--image-size", type=int, default=32)
+    p.add_argument("--corpus-size", type=int, default=64,
+                   help="synthetic video resolution")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--real", action="store_true",
+                   help="also run the real-footage joint protocol "
+                        "(trains on the device; slow on CPU)")
+    p.add_argument("--real-steps", type=int, default=450)
+    p.add_argument("--out", default=None,
+                   help="work dir (default: a fresh temp dir)")
+    p.add_argument("--no-readme", action="store_true",
+                   help="print the table only; don't rewrite README.md")
+    args = p.parse_args(argv)
+    if args.cpu is None:
+        args.cpu = not args.real
+    if args.cpu:
+        os.environ.setdefault("XLA_FLAGS",
+                              "--xla_force_host_platform_device_count=8")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    out_dir = args.out or tempfile.mkdtemp(prefix="wd_repro_")
+    os.makedirs(out_dir, exist_ok=True)
+    root = osp.join(out_dir, "corpus")
+    print(f"[repro] corpus → {root}", file=sys.stderr)
+    df = build_corpus(root, args.videos, args.corpus_size, args.seed)
+    print(f"[repro] train ({args.steps} steps)", file=sys.stderr)
+    ckpt_dir = osp.join(out_dir, "ckpt")
+    info = train_state_classifier(root, df, args.image_size, args.steps,
+                                  args.seed, ckpt_dir)
+    print("[repro] sharded score sweep + eval", file=sys.stderr)
+    synth = score_and_eval(root, df, osp.join(ckpt_dir, "last"),
+                           args.image_size, out_dir, args.cpu)
+    real = None
+    if args.real:
+        print("[repro] real-footage joint protocol", file=sys.stderr)
+        real = run_real(args.real_steps, args.seed)
+    table = render_table(synth, info, args, real)
+    if not args.no_readme:
+        update_readme(table)
+    result = dict(synthetic=synth, train=info, out_dir=out_dir)
+    if real:
+        result["real"] = real
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()
