@@ -97,3 +97,76 @@ def test_person_crop_with_learned_backend(trained_backend, tmp_path):
 def test_learned_backend_requires_checkpoint():
     with pytest.raises(ValueError):
         Detector(backend="learned")
+
+
+def test_aggregate_motion_boxes_denoises():
+    """VERDICT r4 #3 teacher: temporal-median aggregation + shape prior
+    over the raw motion boxes — whole-frame noise boxes are dropped
+    before aggregation, jittered boxes median-smooth, and too-flat boxes
+    grow to the min aspect."""
+    import numpy as np
+
+    from workoutdetector_tpu.data.person import (_motion_boxes,
+                                                 aggregate_motion_boxes)
+
+    rng = np.random.default_rng(0)
+    t, h, w = 40, 96, 96
+    clip = np.full((t, h, w, 3), 30, np.uint8)
+    # a small moving square (the "person"): jittered around (48, 48)
+    centers = []
+    for i in range(t):
+        cx = 48 + int(6 * np.sin(i / 3)) + int(rng.integers(-2, 3))
+        cy = 48 + int(rng.integers(-2, 3))
+        clip[i, cy - 8:cy + 8, cx - 6:cx + 6] = 200
+        centers.append((cx, cy))
+    # frame 20: global flash — the raw diff covers the whole frame
+    clip[20] = np.clip(clip[20].astype(np.int16) + 60, 0, 255
+                       ).astype(np.uint8)
+
+    raw = _motion_boxes(clip)
+    agg = aggregate_motion_boxes(clip, window=6)
+    assert len(agg) == t and all(len(b) == 1 for b in agg)
+    # the flash frame's RAW box is near-whole-frame; the aggregated one
+    # stays tight around the subject
+    rx1, ry1, rx2, ry2 = raw[20][0]
+    assert (rx2 - rx1) * (ry2 - ry1) > 0.8 * h * w
+    ax1, ay1, ax2, ay2 = agg[20][0]
+    assert (ax2 - ax1) * (ay2 - ay1) < 0.25 * h * w
+    acx, acy = (ax1 + ax2) / 2, (ay1 + ay2) / 2
+    assert abs(acx - 48) < 12 and abs(acy - 48) < 12
+    # shape prior: aggregated boxes are at least as tall as wide
+    for b in agg:
+        x1, y1, x2, y2 = b[0]
+        assert (y2 - y1) >= (x2 - x1) - 1e-3
+
+
+def test_distill_from_videos_smoke(tmp_path):
+    """distill_from_videos learns the aggregated-motion teacher from a
+    tiny synthetic mp4 and localizes the moving subject."""
+    import cv2
+    import numpy as np
+
+    from workoutdetector_tpu.data.synthetic import iou
+    from workoutdetector_tpu.models.detector import distill_from_videos
+
+    rng = np.random.default_rng(1)
+    path = str(tmp_path / "move.mp4")
+    wtr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 24,
+                          (128, 128))
+    for i in range(80):
+        f = np.full((128, 128, 3), 40, np.uint8)
+        cy = 64 + int(20 * np.sin(i / 5))
+        f[cy - 20:cy + 20, 44:76] = 210
+        f += rng.integers(0, 6, f.shape).astype(np.uint8)
+        wtr.write(f)
+    wtr.release()
+
+    backend = distill_from_videos([path], steps=220, frame_stride=2,
+                                  decode_scale=128, seed=0)
+    clip = np.stack([np.full((128, 128, 3), 40, np.uint8)] * 3)
+    clip[:, 44:84, 44:76] = 210
+    boxes = backend(clip, threshold=0.2)
+    assert any(len(b) for b in boxes)
+    got = next(b[0] for b in boxes if len(b))
+    target = np.asarray([44, 40, 76, 92], np.float32)  # box ± swing range
+    assert iou(target, got[:4] if got.shape[0] > 4 else got) > 0.3, got

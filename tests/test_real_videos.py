@@ -108,23 +108,31 @@ def test_motion_detector_fires_on_real_footage():
 
 
 def test_person_crop_real_footage_verdict():
-    """VERDICT r3 #5 gate — the MEASURED PersonCrop story on real
-    footage (full table: tools/real_video_eval.py --mode person,
-    2026-08-20, 8 hand-annotated frames across all four videos):
+    """VERDICT r3 #5 + r4 #3 gate — the MEASURED PersonCrop story on
+    real footage (full table: tools/real_video_eval.py --mode person,
+    2026-08-21, 8 hand-annotated frames across all four videos):
 
-      * the synthetic-trained learned CenterNet localizes real humans
-        WORSE than motion saliency per-frame (mean IoU 0.191 vs 0.438) —
-        the synthetic person_scene domain does not transfer, and with
-        zero egress there is no real detection data to close the gap;
-      * downstream, learned-crop HURT the training-free counter (raw MAE
-        0.75 vs 0.5 uncropped) while motion-crop left every count
-        unchanged (union area fraction 0.83-1.0 ≈ no-op).
+      * the SYNTHETIC-trained CenterNet localizes real humans worse
+        than raw motion saliency (mean IoU 0.185 vs 0.438 — the
+        synthetic person_scene domain does not transfer);
+      * round 5 DELIBERATELY FLIPPED the detector half of the round-4
+        verdict: the aggregated-motion-ENERGY teacher
+        (data/person.aggregate_motion_boxes) reaches mean IoU 0.578 and
+        the CenterNet DISTILLED from it on the real footage itself
+        (models/detector.distill_from_videos, zero annotations) 0.562 —
+        both beat the raw backend's 0.438;
+      * downstream is unchanged: agg/distilled crops leave the
+        training-free counts at the uncropped MAE 0.5 (the old
+        synthetic-learned crop HURT at 1.0), so person detection is no
+        longer the blocker but cropping still buys no accuracy on this
+        footage ⇒ person_crop stays DEFAULT-OFF; the reference's
+        person-crop eval variant exists (datasets/build.py:115-136
+        parity) for the datasets where it does help.
 
-    ⇒ person_crop stays DEFAULT-OFF for real video; the reference's
-    person-crop eval variant exists (datasets/build.py:115-136 parity)
-    but is not recommended here. This gate pins the comparison on the
-    pull-up so a detector improvement that flips the verdict fails
-    loudly — if it does, revisit the default and the docs.
+    This gate pins BOTH comparisons on the pull-up: the aggregated
+    teacher must keep beating raw motion (the round-5 claim), and the
+    synthetic-trained detector staying behind motion documents why
+    distillation — not more synthetic data — was the fix.
     """
     from workoutdetector_tpu.data.person import Detector
     from workoutdetector_tpu.data.synthetic import iou, person_dataset
@@ -139,20 +147,27 @@ def test_person_crop_real_footage_verdict():
     motion = Detector("motion")
     with VideoReader(osp.join(EXAMPLES, "stu1_40.mp4")) as r:
         frames = r.read_raw()
-    scores = {"learned": [], "motion": []}
+    agg = Detector("motion-agg")
+    scores = {"learned": [], "motion": [], "agg": []}
     for idx, hb in hand.items():
         clip = frames[idx - 4:idx + 5]
-        for label, det in (("learned", learned), ("motion", motion)):
-            bs = det.detect(clip)[4]
+        agg_clip = frames[max(0, idx - 16):idx + 17]
+        for label, det, c, k in (("learned", learned, clip, 4),
+                                 ("motion", motion, clip, 4),
+                                 ("agg", agg, agg_clip, 16)):
+            bs = det.detect(c)[k]
             scores[label].append(
                 0.0 if len(bs) == 0 else
                 float(iou(np.asarray(hb, np.float32), bs[0])))
     # motion localizes usefully (IoU ≈ 0.4 on these frames)...
     assert np.mean(scores["motion"]) > 0.25, scores
-    # ...and the measured verdict: synthetic-trained learned does NOT
-    # beat it on real footage (if this fails, the detector improved —
-    # flip the person_crop guidance in STATUS/docs)
+    # ...the synthetic-trained detector does NOT beat it (why round 5
+    # distilled from the motion signal instead of adding synthetic data)
     assert np.mean(scores["learned"]) < np.mean(scores["motion"]), scores
+    # ...and the round-5 flip: the aggregated-energy teacher beats the
+    # raw backend on the same frames (measured 0.59 vs 0.41 here; the
+    # distilled CenterNet inherits it — full table in STATUS round 5)
+    assert np.mean(scores["agg"]) > np.mean(scores["motion"]), scores
 
 
 def test_similarity_eval_dataset_real_annotation(feature_engine, tmp_path):

@@ -136,16 +136,24 @@ HAND_BOXES = {
 }
 
 
-def person_eval(detector_steps: int = 300) -> dict:
-    """VERDICT r3 #5: prove (or refute) PersonCrop on REAL footage.
+def person_eval(detector_steps: int = 300,
+                distill_steps: int = 600) -> dict:
+    """VERDICT r3 #5 + r4 #3: the PersonCrop story on REAL footage.
 
-    (a) box quality: the synthetic-trained learned CenterNet backend and
-    the motion backend, scored by IoU against hand-annotated person
-    boxes on 8 real frames (HAND_BOXES above);
+    (a) box quality vs hand-annotated person boxes on 8 real frames
+    (HAND_BOXES above), four backends: raw motion saliency, the
+    temporally-aggregated motion teacher (data/person.
+    aggregate_motion_boxes), the synthetic-trained CenterNet, and the
+    CenterNet DISTILLED from the aggregated teacher on the real footage
+    itself (models/detector.distill_from_videos — zero annotations);
     (b) downstream: counts from the training-free counters on each video
-    with person_crop off / motion-crop / learned-crop, plus each crop's
-    area fraction (the motion backend's documented ~99%-of-frame union
-    is measured here, not assumed).
+    with person_crop off / per-backend crops, plus each crop's area
+    fraction.
+
+    IoU context windows: per-frame backends see ±4 frames around each
+    annotated frame; the aggregated/distilled paths were BUILT from
+    whole-video context, so they are evaluated the way they deploy
+    (aggregation over a ±agg_window clip; the distilled net per-frame).
     """
     import numpy as np
 
@@ -155,13 +163,20 @@ def person_eval(detector_steps: int = 300) -> dict:
     from workoutdetector_tpu.data.transforms import resize_short_side
     from workoutdetector_tpu.data.video import VideoReader, write_video
     from workoutdetector_tpu.infer import count_by_motion_periodicity
-    from workoutdetector_tpu.models.detector import train_detector
+    from workoutdetector_tpu.models.detector import (distill_from_videos,
+                                                     train_detector)
 
     imgs, boxes = person_dataset(64, size=64, seed=0)
     learned = train_detector(imgs, boxes, steps=detector_steps, lr=2e-3,
                              batch=8)
+    distilled = distill_from_videos(
+        [osp.join(EXAMPLES, n) for n in COUNTIX_GT], steps=distill_steps)
     det_learned = Detector(backend=learned)
     det_motion = Detector(backend="motion")
+    det_agg = Detector(backend="motion-agg")
+    det_distilled = Detector(backend=distilled)
+    backends = (("learned", det_learned), ("motion", det_motion),
+                ("motion_agg", det_agg), ("distilled", det_distilled))
 
     frames_cache = {}
 
@@ -174,12 +189,14 @@ def person_eval(detector_steps: int = 300) -> dict:
     iou_rows = []
     for (name, idx), hand in HAND_BOXES.items():
         frames = get_frames(name)
-        lo = max(0, idx - 4)
-        clip = frames[lo:idx + 5]
-        k = idx - lo
         row = dict(video=name, frame=idx)
-        for label, det in (("learned", det_learned), ("motion", det_motion)):
-            bs = det.detect(clip)[k]
+        for label, det in backends:
+            # aggregation needs its full temporal window; per-frame
+            # backends keep the original ±4 clip
+            span = 16 if label == "motion_agg" else 4
+            lo = max(0, idx - span)
+            clip = frames[lo:idx + span + 1]
+            bs = det.detect(clip)[idx - lo]
             row[f"{label}_iou"] = 0.0 if len(bs) == 0 else round(
                 float(iou(np.asarray(hand, np.float32), bs[0])), 3)
         iou_rows.append(row)
@@ -193,7 +210,7 @@ def person_eval(detector_steps: int = 300) -> dict:
         row = dict(gt=gt)
         base, _, _ = count_by_motion_periodicity(osp.join(EXAMPLES, name))
         row["count_nocrop"] = base
-        for label, det in (("learned", det_learned), ("motion", det_motion)):
+        for label, det in backends:
             cropped = PersonCrop(det)(small)
             row[f"area_frac_{label}"] = round(
                 (cropped.shape[1] * cropped.shape[2]) /
@@ -209,16 +226,16 @@ def person_eval(detector_steps: int = 300) -> dict:
         gts = [r["gt"] for r in count_rows.values()]
         return round(obo_mae(preds, gts)[0], 3)
 
-    return dict(mode="person", detector_steps=detector_steps,
-                iou=iou_rows,
-                mean_iou_learned=round(float(np.mean(
-                    [r["learned_iou"] for r in iou_rows])), 3),
-                mean_iou_motion=round(float(np.mean(
-                    [r["motion_iou"] for r in iou_rows])), 3),
-                counts=count_rows,
-                mae_nocrop=mae_of("count_nocrop"),
-                mae_crop_learned=mae_of("count_crop_learned"),
-                mae_crop_motion=mae_of("count_crop_motion"))
+    res = dict(mode="person", detector_steps=detector_steps,
+               distill_steps=distill_steps,
+               iou=iou_rows,
+               counts=count_rows,
+               mae_nocrop=mae_of("count_nocrop"))
+    for label, _ in backends:
+        res[f"mean_iou_{label}"] = round(float(np.mean(
+            [r[f"{label}_iou"] for r in iou_rows])), 3)
+        res[f"mae_crop_{label}"] = mae_of(f"count_crop_{label}")
+    return res
 
 
 def similarity_eval() -> dict:
@@ -415,6 +432,17 @@ def resize_ab_eval(image_size: int, steps: int, train_reps: int,
     on all four videos — the deployment-like regime); 'stu1' = the
     stu1_40-only binary model (in-domain on one video — the other three
     probe the near-zero-margin regime).
+
+    Measurement-record note (ADVICE r4): an earlier docstring claimed
+    the stu1 path gave argmax agreement 1.0 / max |Δlogit| ≈ 0.05 /
+    identical counts on all four videos. That record was INVALID — two
+    independent reruns of the committed code (v5e, 2026-08-21) are
+    BIT-IDENTICAL to each other and to the numbers below (agreement
+    0.757, count 8→3 on the out-of-domain squat), so the old figures
+    cannot have come from this code path; they were captured from a
+    pre-commit draft of this mode (agreement exactly 1.0 with ~0.05
+    deltas on every video is the signature of an A/A comparison — the
+    PIL twin not yet wired into the B leg when those numbers were read).
 
     Measured (v5e, 2026-08-20, full tables in STATUS.md round 4): the
     sensitivity is MARGIN-dependent, not a fixed envelope. Through the
@@ -616,7 +644,7 @@ def repnet_eval(steps: int, image_size: int, lr: float,
 
 
 def train_joint_engine(image_size: int, steps: int, lr: float,
-                       seed: int = 0):
+                       seed: int = 0, shift_round: int = 0):
     """Train the ONE multi-action state checkpoint over all four real
     videos (the joint 2k/2k+1 even/odd classes of pull_up + squat +
     exercising_arm — the reference's 12-class MultiActionRepCount
@@ -702,6 +730,7 @@ def train_joint_engine(image_size: int, steps: int, lr: float,
     cfg = Config()
     cfg.model.model_type = "tsm"
     cfg.model.base_model = "resnet18"
+    cfg.model.shift_round = shift_round
     cfg.model.num_class = 2 * len(JOINT_ACTIONS)
     cfg.model.num_segments = 8
     cfg.model.dropout = 0.3
@@ -756,7 +785,7 @@ def train_joint_engine(image_size: int, steps: int, lr: float,
 
 def joint_eval(image_size: int, steps: int, lr: float, seed: int = 0,
                families: tuple = ("video", "similarity", "repnet", "motion"),
-               repnet_steps: int = 720) -> dict:
+               repnet_steps: int = 720, shift_round: int = 0) -> dict:
     """ONE multi-action state checkpoint, all four real videos, all
     counter families through the SAME eval_dataset protocol.
 
@@ -779,7 +808,8 @@ def joint_eval(image_size: int, steps: int, lr: float, seed: int = 0,
     from workoutdetector_tpu.infer.inference_count import eval_dataset
 
     engine, info, root, df = train_joint_engine(image_size, steps, lr,
-                                                seed=seed)
+                                                seed=seed,
+                                                shift_round=shift_round)
 
     # every family through the SAME eval_dataset protocol over this root
     gts = {row["name"]: int(row["count"]) for _, row in df.iterrows()}
@@ -857,6 +887,10 @@ def main() -> None:
                         help="repnet: additionally count each video "
                              "through the ONLINE StreamingPeriodicCounter "
                              "(the live WS mode) and report its MAE")
+    parser.add_argument("--shift-round", type=int, default=0,
+                        help="joint: TSM shift-site stride for the "
+                             "placement-sweep accuracy A/B (2 = shift "
+                             "every other block)")
     parser.add_argument("--families", default="video,similarity,repnet,motion",
                         help="joint: comma list of counter families to "
                              "run through eval_dataset")
@@ -897,7 +931,8 @@ def main() -> None:
         # 3/4 to 2/4; STATUS round-4 joint campaign)
         res = joint_eval(args.image_size or 112, args.steps or 450,
                          args.lr, seed=args.seed,
-                         families=tuple(args.families.split(",")))
+                         families=tuple(args.families.split(",")),
+                         shift_round=args.shift_round)
     elif args.mode == "repnet":
         res = repnet_eval(args.steps or 720, args.image_size or 64,
                           args.lr, grid=args.grid,
