@@ -47,6 +47,13 @@ def main() -> None:
                         help="whole-block Pallas inference fusion for the "
                              "early ResNet stages (auto = off: measured "
                              "wall, docs/PERF.md; true forces it for A/Bs)")
+    parser.add_argument("--shift-impl", default="xla",
+                        choices=("xla", "xla-edge", "pallas", "unfused"),
+                        help="shift formulation A/B (xla-edge: masks "
+                             "moved past the conv — VERDICT r4 #6 lever)")
+    parser.add_argument("--shift-round", type=int, default=0,
+                        help="shift-site stride (0 = reference rule; 2 "
+                             "shifts every other block)")
     args = parser.parse_args()
 
     import jax
@@ -63,7 +70,8 @@ def main() -> None:
     from workoutdetector_tpu.models.factory import _resolve_fused
     model = TSM(num_class=12, num_segments=8, base_model="resnet50",
                 dropout=0.0, dtype=jnp.bfloat16,
-                fused_block=_resolve_fused(args.fused_block))
+                fused_block=_resolve_fused(args.fused_block),
+                shift_impl=args.shift_impl, shift_round=args.shift_round)
     rng = jax.random.PRNGKey(0)
     init_x = jnp.zeros((1, 8, 224, 224, 3), jnp.float32)
     variables = jax.jit(lambda: model.init({"params": rng}, init_x,
@@ -117,12 +125,17 @@ def main() -> None:
     if baseline is None:
         baseline = DEFAULT_BASELINE_CLIPS_PER_SEC
 
-    print(json.dumps({
+    out = {
         "metric": "tsm_r50_8frame_inference_throughput",
         "value": round(clips_per_sec, 2),
         "unit": "clips/sec",
         "vs_baseline": round(clips_per_sec / baseline, 2),
-    }))
+    }
+    if args.shift_impl != "xla":
+        out["shift_impl"] = args.shift_impl
+    if args.shift_round:
+        out["shift_round"] = args.shift_round
+    print(json.dumps(out))
 
 
 def _bench_streamed(args, model, variables) -> None:
