@@ -51,7 +51,12 @@ class ShiftConv(nn.Module):
     n_segment: int = 8
     fold_div: int = 8
     dtype: Any = jnp.float32
-    impl: str = "xla"  # xla | pallas
+    impl: str = "xla"  # xla | xla-edge | pallas
+    # 'pallas': keep the fused XLA forward but compute the backward with
+    # the Pallas matmul kernels (ops/pallas/conv1x1.make_shift_conv1x1)
+    # — the shifted conv1 sites own the pathological bwd-input matmul
+    # (36x measured at stage 1, docs/PERF.md)
+    bwd: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -68,6 +73,12 @@ class ShiftConv(nn.Module):
                 make_shift_matmul
             op = make_shift_matmul(self.n_segment, self.fold_div)
             return op(x, kernel[0, 0])
+        if self.bwd == "pallas" and self.impl == "xla" and \
+                (kh, kw) == (1, 1) and tuple(self.strides) == (1, 1):
+            from workoutdetector_tpu.ops.pallas.conv1x1 import \
+                make_shift_conv1x1
+            return make_shift_conv1x1(self.n_segment, self.fold_div)(
+                x, kernel)
         fn = shift_conv_edge if self.impl == "xla-edge" else shift_conv
         return fn(x, kernel, self.n_segment, self.fold_div,
                   tuple(self.strides), self.padding)
@@ -242,7 +253,8 @@ class Bottleneck(nn.Module):
             impl = self.shift[2] if len(self.shift) > 2 else "xla"
             y = ShiftConv(self.filters, (1, 1), n_segment=self.shift[0],
                           fold_div=self.shift[1], dtype=self.dtype,
-                          impl=impl, name="conv1")(y)
+                          impl=impl, bwd=self.conv1x1_bwd,
+                          name="conv1")(y)
         else:
             y = conv1x1(self.filters, "conv1")(y)
         y = self.norm(name="bn1")(y, use_running_average=not train)

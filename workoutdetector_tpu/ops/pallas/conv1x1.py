@@ -115,16 +115,27 @@ def _dw_pallas(x2: jnp.ndarray, g2: jnp.ndarray, tile_r: int,
     )(xb, gb)
 
 
-def _round_rows(r: int, c: int, o: int, dtype, budget=4 * 1024 * 1024
+def _round_rows(r: int, c: int, o: int, dtype, budget=3 * 1024 * 1024
                 ) -> int:
-    """Row tile: the largest 512-multiple whose x+g blocks fit the VMEM
-    budget (the (C,O) kernel/accumulator rides along, ≤4 MB f32 at the
-    widest R50 site)."""
-    per_row = (c + o) * jnp.dtype(dtype).itemsize
-    tile = max(512, budget // max(per_row, 1) // 512 * 512)
-    while r % tile and tile > 512:
-        tile -= 512
-    return tile
+    """Row tile: the largest DIVISOR of ``r`` that is a multiple of 16
+    (sublane-aligned for f32 and bf16) and whose two input blocks fit
+    the VMEM budget. Channel dims count LANE-PADDED (a (tile, 16) block
+    occupies (tile, 128) of VMEM — narrow fold blocks OOM'd the 16 MB
+    scoped limit under the raw-byte estimate), and Mosaic double-buffers
+    both inputs, so the budget is ~1/4 of VMEM. Returns 0 when no tile
+    exists — the caller falls back to the XLA transpose (tiny eval
+    shapes)."""
+    def up(n):
+        return -(-n // 128) * 128
+
+    per_row = (up(c) + up(o)) * jnp.dtype(dtype).itemsize
+    cap = min(r, max(16, budget // max(per_row, 1)))
+    tile = cap // 16 * 16
+    while tile >= 16:
+        if r % tile == 0:
+            return tile
+        tile -= 16
+    return 0
 
 
 def make_conv1x1(interpret: bool = None):
@@ -157,12 +168,12 @@ def make_conv1x1(interpret: bool = None):
         interp = interpret
         if interp is None:
             interp = jax.default_backend() == "cpu"
-        if r % 512:
-            # ragged row count (tiny eval shapes): XLA transpose fallback
+        tile = _round_rows(r, c, o, x.dtype)
+        if tile == 0:
+            # no aligned row tile (tiny eval shapes): XLA fallback
             dx2 = g2 @ w2.T.astype(g2.dtype)
             dw = (x2.astype(jnp.float32).T @ g2.astype(jnp.float32))
         else:
-            tile = _round_rows(r, c, o, x.dtype)
             dx2 = _dx_pallas(g2, w2.T.astype(g2.dtype), tile, interp)
             dw = _dw_pallas(x2, g2, tile, interp)
         return (dx2.reshape(x.shape).astype(x.dtype),
@@ -174,3 +185,81 @@ def make_conv1x1(interpret: bool = None):
 
 conv1x1 = make_conv1x1()
 conv1x1_interpret = make_conv1x1(interpret=True)
+
+
+def make_shift_conv1x1(n_segment: int, fold_div: int = 8,
+                       interpret: bool = None):
+    """Shift-fused 1×1 conv with the Pallas backward — the SHIFTED conv1
+    sites own the pathological contraction (measured standalone on v5e:
+    XLA runs the stage-1 bwd-input matmul (802816, 64) @ (64, 256) at
+    0.22 TFLOP/s = 118.5 ms; the Pallas row-tiled kernel does it in
+    3.3 ms — tools/conv1x1_bench.py), and TSM-R50 shifts EVERY
+    bottleneck's conv1, so :func:`make_conv1x1` alone never touches it.
+
+    Forward: exactly ops.temporal_shift.shift_conv (the shipped fused
+    split-conv — inference and fwd schedules untouched). Backward, with
+    S the fold shift (a linear operator):
+
+        d(shift_x) = g @ Wᵀ                (Pallas _dx_pallas)
+        dx         = Sᵀ(d(shift_x))        (reverse rolls + masks on the
+                                            two thin folds only)
+        dW[:2f]    = folds(x)ᵀ @ g         (Pallas _dw_pallas)
+        dW[2f:]    = x[..., 2f:]ᵀ @ g      (Pallas _dw_pallas)
+
+    Sᵀ: the forward's left fold reads out[i] = x[i+1]·[t(i) ≠ T-1], so
+    its transpose scatters dx_l[i] = dsh_l[i-1]·[t(i) ≠ 0] — the
+    opposite roll with the opposite edge mask (and symmetrically for the
+    right fold). Parity vs jax.vjp(shift_conv) gated in
+    tests/test_conv1x1_bwd.py.
+    """
+    from workoutdetector_tpu.ops.temporal_shift import shift_conv
+
+    @jax.custom_vjp
+    def op(x, k):
+        return shift_conv(x, k, n_segment, fold_div)
+
+    def fwd(x, k):
+        return op(x, k), (x, k)
+
+    def bwd(res, g):
+        x, k = res
+        bt, h, w, c = x.shape
+        o = k.shape[-1]
+        fold = c // fold_div
+        r = bt * h * w
+        interp = interpret
+        if interp is None:
+            interp = jax.default_backend() == "cpu"
+        tile = _round_rows(r, c, o, x.dtype)
+        if tile == 0:
+            def ref(xv, kv):
+                return shift_conv(xv, kv, n_segment, fold_div)
+            _, vjp = jax.vjp(ref, x, k)
+            return vjp(g)
+        g2 = g.reshape(r, o).astype(x.dtype)
+        w2 = k[0, 0]
+        dsh = _dx_pallas(g2, w2.T.astype(g2.dtype), tile,
+                         interp).reshape(bt, h, w, c)
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, (bt, 1, 1, 1),
+                                         0) % n_segment
+        dx_l = jnp.roll(dsh[..., :fold], 1, axis=0) * \
+            (t_idx != 0).astype(dsh.dtype)
+        dx_r = jnp.roll(dsh[..., fold:2 * fold], -1, axis=0) * \
+            (t_idx != n_segment - 1).astype(dsh.dtype)
+        dx = jnp.concatenate([dx_l, dx_r, dsh[..., 2 * fold:]], axis=-1)
+        # dW needs shift(x); only the two thin folds materialize
+        xl = jnp.roll(x[..., :fold], -1, axis=0) * \
+            (t_idx != n_segment - 1).astype(x.dtype)
+        xr = jnp.roll(x[..., fold:2 * fold], 1, axis=0) * \
+            (t_idx != 0).astype(x.dtype)
+        folds2 = jnp.concatenate([xl, xr], axis=-1).reshape(r, 2 * fold)
+        rest2 = x[..., 2 * fold:].reshape(r, c - 2 * fold)
+        tf = _round_rows(r, 2 * fold, o, x.dtype)
+        tr = _round_rows(r, c - 2 * fold, o, x.dtype)
+        dw_f = _dw_pallas(folds2, g2, tf, interp)
+        dw_r = _dw_pallas(rest2, g2, tr, interp)
+        dw = jnp.concatenate([dw_f, dw_r], axis=0)
+        return (dx.astype(x.dtype), dw[None, None].astype(k.dtype))
+
+    op.defvjp(fwd, bwd)
+    return op
