@@ -204,8 +204,10 @@ def main() -> None:
                         await asyncio.sleep(delay)
                 else:
                     await asyncio.sleep(0)
-            # let in-flight scores land before closing
-            await asyncio.sleep(1.0)
+            # let in-flight scores land before closing: the host decode
+            # backlog at saturation can run several seconds deep (one
+            # prep worker per core; this box has had nproc=1)
+            await asyncio.sleep(5.0)
             rt.cancel()
             await ws.send("stop")
         return sent, freshness
