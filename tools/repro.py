@@ -16,7 +16,7 @@ configuration).
 Usage::
 
     make repro            # CPU, synthetic corpus protocol (~10 min)
-    python tools/repro.py --cpu [--videos 40] [--steps 150] [--seed 0]
+    python tools/repro.py --cpu [--videos 40] [--steps 80] [--seed 0]
     python tools/repro.py --real   # adds the real-footage joint table
                                    # (trains on v5e; see STATUS round 4)
 
